@@ -1,0 +1,24 @@
+"""Test environment: force CPU with 8 virtual devices (the JAX fake-backend
+trick, SURVEY.md §4) so sharding tests run without multi-chip TPU hardware.
+
+Note: this machine's sitecustomize registers an 'axon' TPU backend and sets
+jax.config jax_platforms='axon,cpu' at interpreter start, overriding the
+JAX_PLATFORMS env var — so we must update the config again here, before any
+device is touched.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"
