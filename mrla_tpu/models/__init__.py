@@ -1,5 +1,13 @@
-"""Model zoo (L1) and registry (L2)."""
+"""Model zoo (L1) and registry (L2).
+
+Importing this package registers every architecture name (the reference
+discovers arch names via models.__dict__ reflection, resnet/train.py:24-26;
+we do the same via import-time @register_model decorators).
+"""
 
 from mrla_tpu.models.registry import register_model, create_model, list_models
+
+from mrla_tpu.models import resnet  # noqa: F401, E402
+from mrla_tpu.models import resnet_mrla_light  # noqa: F401, E402
 
 __all__ = ["register_model", "create_model", "list_models"]
