@@ -1,0 +1,22 @@
+"""Device-mesh construction and GSPMD sharding rules.
+
+The reference's entire distributed layer (~150 LoC of NCCL/DDP rank
+bookkeeping, SURVEY.md §2.5) collapses here into mesh construction +
+sharding annotations: XLA emits the collectives.
+"""
+
+from mrla_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    local_mesh,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "local_mesh",
+]

@@ -1,0 +1,34 @@
+"""Classification losses.
+
+Parity: CrossEntropyLabelSmooth ε=0.1 (/root/reference/resnet/utils.py:66-113)
+computes mean-over-batch of -(sum((1-ε)·onehot + ε/K) · log_softmax).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean CE over the batch; integer labels."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
+
+
+def label_smoothing_ce(
+    logits: jax.Array, labels: jax.Array, epsilon: float = 0.1
+) -> jax.Array:
+    """Label-smoothed CE matching the reference's CrossEntropyLabelSmooth."""
+    num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    targets = (1.0 - epsilon) * onehot + epsilon / num_classes
+    return jnp.mean(-jnp.sum(targets * logp, axis=-1))
+
+
+def soft_target_ce(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """CE against soft targets (mixup/cutmix paths; timm SoftTargetCrossEntropy)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(-jnp.sum(targets.astype(jnp.float32) * logp, axis=-1))

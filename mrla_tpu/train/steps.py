@@ -1,0 +1,111 @@
+"""Jittable train / eval steps.
+
+The hot loop of the reference trainers (resnet/train.py:387-413,
+deit/engine.py:30-59) becomes two pure functions.  Under a Mesh with the
+batch dim sharded over 'data', jit/GSPMD emits the gradient all-reduce that
+DDP performed — no explicit collectives (SURVEY.md §2.5).
+
+BN note: running stats are updated per the *global* batch here (XLA reduces
+across shards inside the BN mean/var when the batch dim is sharded) — the
+reference keeps per-replica stats (SyncBN commented out).  For inference
+parity this is moot (converted running stats are used verbatim).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mrla_tpu.train.losses import cross_entropy
+from mrla_tpu.train.state import TrainState
+
+
+def make_train_step(
+    loss_fn: Callable = cross_entropy,
+    grad_clip_norm: Optional[float] = None,
+    has_droppath: bool = False,
+    has_dropout: bool = False,
+):
+    """Build a jittable train step.
+
+    batch: {"image": [B,H,W,C], "label": [B] int or [B,K] soft}.
+    Returns (new_state, metrics).
+    """
+
+    def train_step(state: TrainState, batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        rng_names = []
+        if has_droppath:
+            rng_names.append("droppath")
+        if has_dropout:
+            rng_names.append("dropout")
+        rngs = dict(zip(rng_names, jax.random.split(rng, max(1, len(rng_names)))))
+
+        def compute_loss(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = state.apply_fn(
+                variables,
+                batch["image"],
+                train=True,
+                mutable=mutable,
+                rngs=rngs or None,
+            )
+            logits, new_model_state = out if mutable else (out, {})
+            loss = loss_fn(logits, batch["label"])
+            return loss, (logits, new_model_state)
+
+        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+
+        if grad_clip_norm is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        new_state = state.apply_gradients(
+            grads=grads,
+            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+        )
+        if state.ema_params is not None:
+            d = state.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, state.ema_params, new_state.params
+            )
+            new_state = new_state.replace(ema_params=new_ema)
+
+        metrics = {"loss": loss}
+        if batch["label"].ndim == 1:
+            metrics["accuracy"] = jnp.mean(
+                (jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32)
+            )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(use_ema: bool = False):
+    """Build a jittable eval step returning summed top-1/top-5 correct counts."""
+
+    def eval_step(state: TrainState, batch):
+        params = state.ema_params if (use_ema and state.ema_params) else state.params
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = state.apply_fn(variables, batch["image"], train=False)
+        top5 = jax.lax.top_k(logits, 5)[1]  # [B, 5]
+        labels = batch["label"][:, None]
+        return {
+            "top1": jnp.sum((top5[:, :1] == labels).any(axis=-1)),
+            "top5": jnp.sum((top5 == labels).any(axis=-1)),
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+        }
+
+    return eval_step
