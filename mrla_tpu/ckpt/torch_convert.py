@@ -156,6 +156,18 @@ def convert_resnet_state_dict(
         elif rest[0] == "bn_mrla":
             col, leaf = _BN_MAP[rest[1]]
             put(col, (blk, "bn_mrla", leaf), v)
+        elif rest[0] == "la":
+            # la_eq4: la.W{q,k,v}.weight -> la_proj/w{q,k,v}
+            if rest[1] in ("Wq", "Wk"):
+                name = "wq" if rest[1] == "Wq" else "wk"
+                put("params", (blk, "la_proj", name), v.reshape(-1))
+            elif rest[1] == "Wv":
+                put("params", (blk, "la_proj", "wv"), _dw_kernel(v))
+            else:
+                raise KeyError(f"unrecognized la key: {key}")
+        elif rest[0] == "bn_la":
+            col, leaf = _BN_MAP[rest[1]]
+            put(col, (blk, "bn_la", leaf), v)
         elif rest[0] == "dwconv":
             put("params", (blk, "dwconv", "kernel"), _dw_kernel(v))
         elif rest[0] == "bn_dw":
@@ -165,6 +177,82 @@ def convert_resnet_state_dict(
             raise KeyError(f"unrecognized torch key: {key}")
 
     return {"params": params, "batch_stats": stats}
+
+
+_LN_MAP = {"weight": "scale", "bias": "bias"}
+
+
+def convert_vit_state_dict(
+    state_dict: Mapping[str, Any], variant: str = "light"
+) -> Dict[str, Dict]:
+    """Convert a reference DeiT/ViT(-MRLA) torch state_dict to Flax variables.
+
+    variant: "light" | "base" | "plain" — controls the mrla key nesting
+    (the base token module wraps one extra MRLABaseModule level).
+    """
+    params: Dict = {}
+
+    def put(path: Tuple[str, ...], v: np.ndarray) -> None:
+        _set(params, path, v)
+
+    for key, value in state_dict.items():
+        v = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value
+        )
+        parts = key.split(".")
+        if parts[0] == "module":
+            parts = parts[1:]
+
+        if parts[0] in ("cls_token", "dist_token", "pos_embed"):
+            put((parts[0],), v)
+        elif parts[0] == "patch_embed":
+            if parts[2] == "weight":
+                put(("patch_embed", "proj", "kernel"), _conv_kernel(v))
+            else:
+                put(("patch_embed", "proj", "bias"), v)
+        elif parts[0] == "norm":
+            put(("norm", _LN_MAP[parts[1]]), v)
+        elif parts[0] in ("head", "head_dist"):
+            put((parts[0], "kernel" if parts[1] == "weight" else "bias"),
+                v.T if parts[1] == "weight" else v)
+        elif parts[0] == "blocks":
+            blk = f"block{int(parts[1])}"
+            rest = parts[2:]
+            if rest[0] in ("norm1", "norm2"):
+                put((blk, rest[0], _LN_MAP[rest[1]]), v)
+            elif rest[0] == "attn":
+                # qkv / proj Linear: torch [out,in] -> flax [in,out]
+                put((blk, "attn", rest[1], "kernel" if rest[2] == "weight" else "bias"),
+                    v.T if rest[2] == "weight" else v)
+            elif rest[0] == "mlp":
+                put((blk, "mlp", rest[1], "kernel" if rest[2] == "weight" else "bias"),
+                    v.T if rest[2] == "weight" else v)
+            elif rest[0] == "mrla":
+                if rest[1] in ("normx", "normo"):
+                    put((blk, "mrla", rest[1], _LN_MAP[rest[2]]), v)
+                elif rest[1] == "lambda_t":
+                    put((blk, "mrla", "lambda_t"), v.reshape(-1))
+                elif rest[1] == "mrla":
+                    # light: mrla/mrla/proj; base adds one wrapper level
+                    inner = ("mrla", "mrla", "proj") if variant == "light" else (
+                        "mrla", "mrla", "mrla", "proj")
+                    if rest[2] in ("Wq", "Wk"):
+                        nm = "wq" if rest[2] == "Wq" else "wk"
+                        put((blk, *inner, nm), v.reshape(-1))
+                    elif rest[2] == "Wv":
+                        put((blk, *inner, "wv"), _dw_kernel(v))
+                    else:
+                        raise KeyError(f"unrecognized vit mrla key: {key}")
+                else:
+                    raise KeyError(f"unrecognized vit mrla key: {key}")
+            else:
+                raise KeyError(f"unrecognized vit block key: {key}")
+        elif parts[0] == "pre_logits":
+            continue  # identity for all registered sizes
+        else:
+            raise KeyError(f"unrecognized vit key: {key}")
+
+    return {"params": params}
 
 
 def convert_mrla_base_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Dict]:

@@ -83,6 +83,52 @@ def test_resnet_mrlal_parity():
     _logit_compare(fm, tm)
 
 
+def test_resnet_mrlab_parity():
+    from models.resnet_mrla_base import ResNet_mrlab, MRLA_Bottleneck as MRLAB_Block
+
+    from mrla_tpu.models.resnet_mrla_base import ResNetMRLABase
+
+    torch.manual_seed(5)
+    tm = ResNet_mrlab(MRLAB_Block, LAYERS, num_classes=10)
+    fm = ResNetMRLABase(layers=LAYERS, num_classes=10)
+    _logit_compare(fm, tm)
+
+
+def test_resnet_mrlab22_parity():
+    from models.resnet_mrla_base22 import ResNet_mrlab, MRLA_Bottleneck as B22_Block
+
+    from mrla_tpu.models.resnet_mrla_base import ResNetMRLABase
+
+    torch.manual_seed(6)
+    tm = ResNet_mrlab(B22_Block, LAYERS, num_classes=10)
+    fm = ResNetMRLABase(
+        layers=LAYERS, num_classes=10, deep_stem=False, relu_on_attn=False
+    )
+    _logit_compare(fm, tm)
+
+
+def test_resnet_dw_parity():
+    from models.resnet_dw import ResNet_dw, Bottleneck_dw
+
+    from mrla_tpu.models.resnet import ResNet
+
+    torch.manual_seed(7)
+    tm = ResNet_dw(Bottleneck_dw, LAYERS, num_classes=10)
+    fm = ResNet(layers=LAYERS, num_classes=10, dw_epilogue=True)
+    _logit_compare(fm, tm)
+
+
+def test_resnet_la_eq4_parity():
+    from models.resnet_la_eq4 import ResNet_la_eq4, LABottleneck
+
+    from mrla_tpu.models.resnet_la_eq4 import ResNetLAEq4
+
+    torch.manual_seed(8)
+    tm = ResNet_la_eq4(LABottleneck, LAYERS, num_classes=10)
+    fm = ResNetLAEq4(layers=LAYERS, num_classes=10)
+    _logit_compare(fm, tm)
+
+
 @pytest.mark.slow
 def test_resnet50_mrlal_full_parity():
     """The flagship at full depth (slow: ~1 min on CPU)."""
