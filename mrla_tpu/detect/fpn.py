@@ -1,0 +1,83 @@
+"""Feature Pyramid Network neck (MMDetection-compatible semantics).
+
+Matches the configs grafted by the reference
+(mmdetection/configs/_base_/models/faster_rcnn_r50mrlal_fpn.py:15-19:
+in_channels=[256,512,1024,2048], out_channels=256, num_outs=5;
+retinanet_r50mrlal_fpn.py: start_level=1, add_extra_convs='on_input',
+num_outs=5):
+
+  * lateral 1x1 convs on C_i, top-down nearest-x2 upsample + add,
+    3x3 output convs -> P_i.
+  * extra levels: maxpool stride 2 on the last P (faster/mask-rcnn style)
+    or stride-2 convs on the last input/output (retinanet style).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class FPN(nn.Module):
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    add_extra_convs: Optional[str] = None  # None | "on_input" | "on_output"
+    relu_before_extra_convs: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jax.Array]) -> tuple[jax.Array, ...]:
+        used = list(inputs[self.start_level:])
+        n = len(used)
+
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"lateral{i}")(
+                used[i]
+            )
+            for i in range(n)
+        ]
+        # top-down pathway
+        for i in range(n - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(laterals[i])
+
+        outs = [
+            nn.Conv(
+                self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, name=f"fpn_conv{i}",
+            )(laterals[i])
+            for i in range(n)
+        ]
+
+        # extra levels
+        while len(outs) < self.num_outs:
+            if self.add_extra_convs is None:
+                # parameter-free: stride-2 maxpool on the last output
+                outs.append(
+                    nn.max_pool(outs[-1], (1, 1), strides=(2, 2), padding="VALID")
+                )
+            else:
+                src = (
+                    used[-1]
+                    if self.add_extra_convs == "on_input" and len(outs) == n
+                    else outs[-1]
+                )
+                if self.relu_before_extra_convs and len(outs) > n:
+                    src = nn.relu(src)
+                outs.append(
+                    nn.Conv(
+                        self.out_channels, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), dtype=self.dtype,
+                        name=f"extra_conv{len(outs)}",
+                    )(src)
+                )
+        return tuple(outs)

@@ -13,5 +13,6 @@ from mrla_tpu.models import resnet_mrla_base  # noqa: F401, E402
 from mrla_tpu.models import resnet_la_eq4  # noqa: F401, E402
 from mrla_tpu.models import deit  # noqa: F401, E402
 from mrla_tpu.models import deit_mrla  # noqa: F401, E402
+from mrla_tpu.models import efficientnet_mrla  # noqa: F401, E402
 
 __all__ = ["register_model", "create_model", "list_models"]

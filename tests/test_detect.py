@@ -1,0 +1,66 @@
+"""Backbone pyramid contract + FPN shapes + freeze mask semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrla_tpu.detect import FPN, MRLABackboneFPN, freeze_mask
+from mrla_tpu.models.resnet_mrla_light import ResNetMRLALight
+
+
+def test_backbone_pyramid_contract():
+    m = ResNetMRLALight(layers=[1, 1, 1, 1], features_only=True, use_drop_path=False)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)), train=False)
+    feats = m.apply(v, jnp.zeros((2, 128, 128, 3)), train=False)
+    # C2..C5 at strides 4/8/16/32, channels 256/512/1024/2048
+    assert [f.shape for f in feats] == [
+        (2, 32, 32, 256),
+        (2, 16, 16, 512),
+        (2, 8, 8, 1024),
+        (2, 4, 4, 2048),
+    ]
+
+
+def test_fpn_num_outs_and_shapes():
+    feats = [
+        jnp.zeros((2, 32, 32, 256)),
+        jnp.zeros((2, 16, 16, 512)),
+        jnp.zeros((2, 8, 8, 1024)),
+        jnp.zeros((2, 4, 4, 2048)),
+    ]
+    # faster-rcnn style: 5 outs, maxpool extra
+    fpn = FPN(out_channels=256, num_outs=5)
+    v = fpn.init(jax.random.key(0), feats)
+    outs = fpn.apply(v, feats)
+    assert [o.shape for o in outs] == [
+        (2, 32, 32, 256), (2, 16, 16, 256), (2, 8, 8, 256),
+        (2, 4, 4, 256), (2, 2, 2, 256),
+    ]
+    # retinanet style: start_level=1, extra convs on input
+    fpn2 = FPN(out_channels=256, num_outs=5, start_level=1, add_extra_convs="on_input")
+    v2 = fpn2.init(jax.random.key(0), feats)
+    outs2 = fpn2.apply(v2, feats)
+    assert [o.shape for o in outs2] == [
+        (2, 16, 16, 256), (2, 8, 8, 256), (2, 4, 4, 256),
+        (2, 2, 2, 256), (2, 1, 1, 256),
+    ]
+
+
+def test_backbone_fpn_end_to_end_and_freeze():
+    m = MRLABackboneFPN(layers=(1, 1, 1, 1))
+    v = m.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)), train=False)
+    outs = m.apply(v, jnp.zeros((1, 128, 128, 3)), train=False)
+    assert len(outs) == 5
+
+    mask = freeze_mask(v["params"], frozen_stages=1)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(mask)
+    stem_keys = [k for k in flat if k[0] == "backbone" and k[1].startswith("stem")]
+    l1 = [k for k in flat if k[0] == "backbone" and k[1].startswith("layer1_")]
+    l2 = [k for k in flat if k[0] == "backbone" and k[1].startswith("layer2_")]
+    neck = [k for k in flat if k[0] == "neck"]
+    assert stem_keys and all(not flat[k] for k in stem_keys)
+    assert l1 and all(not flat[k] for k in l1)
+    assert l2 and all(flat[k] for k in l2)
+    assert neck and all(flat[k] for k in neck)
