@@ -1,0 +1,311 @@
+"""Unified training/eval CLI — one harness replacing the reference's three
+silos (resnet/train.py, resnet/train_pro.py, deit/main.py; SURVEY.md §2.3).
+
+Flag semantics preserved where they exist upstream: SGD step/cosine recipes
+with warmup, label smoothing (train_pro), AdamW+cosine+EMA+Mixup/CutMix+
+repeated-aug (deit), RMSpropTF+exp-decay (efficientnet README recipe),
+eval-only (-e), resume, per-epoch txt logs + JSON-lines log, best
+checkpointing.  Distribution is a mesh + shardings (no rank plumbing): the
+batch dim shards over 'data'; `jax.distributed.initialize` handles
+multi-host when launched per-host.
+
+Example:
+    python -m mrla_tpu.train.cli -a resnet50_mrlal --data synthetic \
+        --epochs 2 --batch-size 32 --synthetic-steps 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mrla_tpu.ckpt.orbax_io import restore_checkpoint, save_checkpoint
+from mrla_tpu.data import (
+    ImageFolder,
+    distributed_indices,
+    iterate_batches,
+    mixup_cutmix,
+    normalize,
+    ra_sampler_indices,
+    random_erasing,
+    synthetic_batches,
+)
+from mrla_tpu.models import create_model, list_models
+from mrla_tpu.parallel import make_mesh, shard_batch
+from mrla_tpu.train import (
+    create_train_state,
+    cross_entropy,
+    label_smoothing_ce,
+    make_eval_step,
+    make_train_step,
+    soft_target_ce,
+)
+from mrla_tpu.train.metrics import AverageMeter, data_save, jsonl_log
+from mrla_tpu.train.optim import adamw_timm, rmsprop_tf, sgd_torch
+from mrla_tpu.train.schedules import (
+    cosine_with_warmup,
+    exponential_decay_with_warmup,
+    multistep_with_warmup,
+    step_with_warmup,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("mrla_tpu trainer")
+    p.add_argument("-a", "--arch", default="resnet50_mrlal", choices=list_models())
+    p.add_argument("--data", default="synthetic", help="ImageFolder root or 'synthetic'")
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("-b", "--batch-size", type=int, default=256, help="global batch")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--synthetic-steps", type=int, default=20)
+    # optimizer / schedule
+    p.add_argument("--opt", default="sgd", choices=["sgd", "adamw", "rmsproptf"])
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--wd", "--weight-decay", dest="weight_decay", type=float,
+                   default=1e-4)
+    p.add_argument("--scheduler", default="step",
+                   choices=["step", "cosine", "multistep", "exp"])
+    p.add_argument("--warmup-epochs", type=int, default=3)
+    p.add_argument("--clip-grad", type=float, default=None)
+    p.add_argument("--lr-scale-512", action="store_true",
+                   help="deit linear scaling: lr *= global_batch/512")
+    # regularization
+    p.add_argument("--label-smooth", type=float, default=0.0)
+    p.add_argument("--mixup", type=float, default=0.0)
+    p.add_argument("--cutmix", type=float, default=0.0)
+    p.add_argument("--random-erase", type=float, default=0.0)
+    p.add_argument("--drop-path", type=float, default=0.0)
+    p.add_argument("--drop-rate", type=float, default=0.0)
+    p.add_argument("--ema-decay", type=float, default=0.0)
+    p.add_argument("--repeated-aug", action="store_true")
+    # run control
+    p.add_argument("-e", "--evaluate", action="store_true")
+    p.add_argument("--resume", default="")
+    p.add_argument("--output-dir", default="./runs/default")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--print-freq", type=int, default=50)
+    p.add_argument("--bf16", action="store_true", help="bf16 compute dtype")
+    return p
+
+
+def build_optimizer(args, params, steps_per_epoch: int):
+    lr = args.lr
+    if args.lr_scale_512:
+        lr = lr * args.batch_size / 512.0
+    sched = {
+        "step": lambda: step_with_warmup(lr, steps_per_epoch, args.warmup_epochs),
+        "cosine": lambda: cosine_with_warmup(
+            lr, args.epochs, steps_per_epoch, args.warmup_epochs
+        ),
+        "multistep": lambda: multistep_with_warmup(
+            lr, steps_per_epoch, warmup_epochs=args.warmup_epochs
+        ),
+        "exp": lambda: exponential_decay_with_warmup(
+            lr, steps_per_epoch, warmup_epochs=args.warmup_epochs
+        ),
+    }[args.scheduler]()
+    if args.opt == "sgd":
+        return sgd_torch(sched, args.momentum, args.weight_decay)
+    if args.opt == "adamw":
+        return adamw_timm(sched, params, weight_decay=args.weight_decay)
+    return rmsprop_tf(sched, weight_decay=args.weight_decay)
+
+
+def main(argv=None) -> dict:
+    # Honor JAX_PLATFORMS even when a site hook force-set jax_platforms at
+    # interpreter start (this machine's axon sitecustomize does).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    mesh = make_mesh(axes=("data", "model"))
+    n_dev = mesh.devices.size
+    if args.batch_size % n_dev:
+        raise ValueError(f"global batch {args.batch_size} not divisible by "
+                         f"{n_dev} devices")
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model_kw = dict(num_classes=args.num_classes, dtype=dtype)
+    if args.drop_path:
+        model_kw["drop_path"] = args.drop_path
+    if args.drop_rate:
+        model_kw["drop_rate"] = args.drop_rate
+    model = create_model(args.arch, **model_kw)
+
+    synthetic = args.data == "synthetic"
+    if synthetic:
+        steps_per_epoch = args.synthetic_steps
+        train_ds = val_ds = None
+    else:
+        train_ds = ImageFolder(os.path.join(args.data, "train"))
+        val_ds = ImageFolder(os.path.join(args.data, "val"))
+        steps_per_epoch = len(train_ds) // args.batch_size
+
+    sample = jnp.zeros((n_dev, args.image_size, args.image_size, 3), jnp.float32)
+    tx_holder = {}
+
+    def make_tx(params):
+        tx_holder["tx"] = build_optimizer(args, params, steps_per_epoch)
+        return tx_holder["tx"]
+
+    rng = jax.random.key(args.seed)
+    variables = model.init(rng, sample, train=False)
+    state = create_train_state(
+        model, rng, sample, make_tx(variables["params"]), ema_decay=args.ema_decay
+    )
+
+    start_epoch, best_acc1 = 0, 0.0
+    if args.resume:
+        restored = restore_checkpoint(args.resume, state)
+        if restored is not None:
+            state, start_epoch, best_acc1 = restored
+            print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    use_soft = args.mixup > 0 or args.cutmix > 0
+    if use_soft:
+        loss_fn = soft_target_ce
+    elif args.label_smooth > 0:
+        loss_fn = lambda lo, la: label_smoothing_ce(lo, la, args.label_smooth)
+    else:
+        loss_fn = cross_entropy
+
+    train_step = jax.jit(
+        make_train_step(
+            loss_fn=loss_fn,
+            grad_clip_norm=args.clip_grad,
+            has_droppath=args.drop_path > 0,
+            has_dropout=args.drop_rate > 0,
+        )
+    )
+    eval_step = jax.jit(make_eval_step(use_ema=args.ema_decay > 0))
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(state, repl)
+
+    aug_key = jax.random.key(args.seed + 1)
+
+    @jax.jit
+    def device_augment(key, images_u8, labels):
+        x = normalize(images_u8)
+        flip = jax.random.bernoulli(key, 0.5, (x.shape[0], 1, 1, 1))
+        x = jnp.where(flip, x[:, :, ::-1, :], x)
+        if args.random_erase > 0:
+            x = random_erasing(jax.random.fold_in(key, 1), x, args.random_erase)
+        if use_soft:
+            x, targets = mixup_cutmix(
+                jax.random.fold_in(key, 2), x, labels, args.num_classes,
+                mixup_alpha=max(args.mixup, 1e-8),
+                cutmix_alpha=max(args.cutmix, 1e-8),
+                label_smoothing=args.label_smooth,
+            )
+            return x, targets
+        return x, labels
+
+    def train_batches(epoch):
+        if synthetic:
+            for b in synthetic_batches(args.batch_size, args.image_size,
+                                       args.num_classes, steps_per_epoch,
+                                       seed=args.seed + epoch):
+                yield b, True  # already float images; skip u8 augment
+        else:
+            if args.repeated_aug:
+                idxs = ra_sampler_indices(len(train_ds), 0, 1, epoch, seed=args.seed)
+            else:
+                idxs = distributed_indices(len(train_ds), 0, 1, epoch,
+                                           seed=args.seed)
+            for b in iterate_batches(train_ds, idxs, args.batch_size,
+                                     args.image_size, train=True,
+                                     seed=args.seed + epoch,
+                                     num_threads=args.workers):
+                yield b, False
+
+    def validate(epoch):
+        top1, top5, count = 0, 0, 0
+        if synthetic:
+            batches = synthetic_batches(args.batch_size, args.image_size,
+                                        args.num_classes, 2, seed=123)
+        else:
+            batches = iterate_batches(val_ds, np.arange(len(val_ds)),
+                                      args.batch_size, args.image_size,
+                                      train=False, num_threads=args.workers)
+        for b in batches:
+            img = b["image"]
+            if img.dtype == np.uint8:
+                img = np.asarray(normalize(jnp.asarray(img)))
+            batch = shard_batch({"image": img, "label": b["label"]}, mesh)
+            with mesh:
+                out = eval_step(state, batch)
+            top1 += int(out["top1"]); top5 += int(out["top5"])
+            count += int(out["count"])
+        acc1 = 100.0 * top1 / max(count, 1)
+        acc5 = 100.0 * top5 / max(count, 1)
+        print(f"epoch {epoch}: val acc@1 {acc1:.3f} acc@5 {acc5:.3f}")
+        return acc1, acc5
+
+    if args.evaluate:
+        acc1, acc5 = validate(start_epoch)
+        return {"acc1": acc1, "acc5": acc5}
+
+    history = []
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        losses = AverageMeter("loss")
+        accs = AverageMeter("acc")
+        for i, (b, prenorm) in enumerate(train_batches(epoch)):
+            key = jax.random.fold_in(aug_key, epoch * steps_per_epoch + i)
+            if prenorm:
+                images = jnp.asarray(b["image"])
+                labels = jnp.asarray(b["label"])
+                if use_soft:
+                    images, labels = mixup_cutmix(
+                        key, images, labels, args.num_classes,
+                        mixup_alpha=max(args.mixup, 1e-8),
+                        cutmix_alpha=max(args.cutmix, 1e-8),
+                        label_smoothing=args.label_smooth)
+            else:
+                images, labels = device_augment(
+                    key, jnp.asarray(b["image"]), jnp.asarray(b["label"]))
+            batch = shard_batch(
+                {"image": np.asarray(images), "label": np.asarray(labels)}, mesh
+            )
+            with mesh:
+                state, metrics = train_step(state, batch, rng)
+            losses.update(float(metrics["loss"]), len(b["label"]))
+            if "accuracy" in metrics:
+                accs.update(float(metrics["accuracy"]), len(b["label"]))
+            if i % args.print_freq == 0:
+                print(f"epoch {epoch} [{i}/{steps_per_epoch}] {losses}")
+            if not np.isfinite(losses.val):
+                raise FloatingPointError(f"non-finite loss at epoch {epoch}")
+
+        acc1, acc5 = validate(epoch)
+        is_best = acc1 > best_acc1
+        best_acc1 = max(acc1, best_acc1)
+        save_checkpoint(args.output_dir, jax.device_get(state), epoch, best_acc1,
+                        is_best=is_best, keep_every=30)
+        # reference artifact formats
+        data_save(args.output_dir, "train_loss", epoch, losses.avg)
+        data_save(args.output_dir, "val_acc1", epoch, acc1)
+        data_save(args.output_dir, "val_acc5", epoch, acc5)
+        jsonl_log(os.path.join(args.output_dir, "log.txt"), {
+            "epoch": epoch, "train_loss": losses.avg, "test_acc1": acc1,
+            "test_acc5": acc5, "best_acc1": best_acc1,
+            "epoch_time_s": round(time.time() - t0, 1),
+        })
+        history.append({"epoch": epoch, "loss": losses.avg, "acc1": acc1})
+
+    return {"best_acc1": best_acc1, "history": history}
+
+
+if __name__ == "__main__":
+    main()

@@ -100,7 +100,8 @@ def make_eval_step(use_ema: bool = False):
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         logits = state.apply_fn(variables, batch["image"], train=False)
-        top5 = jax.lax.top_k(logits, 5)[1]  # [B, 5]
+        k = min(5, logits.shape[-1])
+        top5 = jax.lax.top_k(logits, k)[1]  # [B, k]
         labels = batch["label"][:, None]
         return {
             "top1": jnp.sum((top5[:, :1] == labels).any(axis=-1)),
