@@ -91,18 +91,37 @@ def iterate_batches(
     indices = np.asarray(indices)
     n_batches = len(indices) // batch_size if drop_last else -(-len(indices) // batch_size)
 
+    # Fast path: the native C++ libjpeg loader (mrla_tpu/data/native) when
+    # every file is a JPEG.  Note: its eval transform resamples the center
+    # box directly (single pass) — visually equivalent to, but not
+    # bit-identical with, PIL's resize-then-crop.
+    use_native = False
+    try:
+        from mrla_tpu.data import native
+
+        use_native = native.available() and all(
+            p.lower().endswith((".jpg", ".jpeg")) for p, _ in dataset.samples
+        )
+    except Exception:
+        use_native = False
+
     def make_batch(bi: int) -> dict:
-        rng = np.random.default_rng((seed, bi))
         idxs = indices[bi * batch_size : (bi + 1) * batch_size]
+        labels = np.asarray([dataset.samples[i][1] for i in idxs], np.int32)
+        if use_native:
+            paths = [dataset.samples[i][0] for i in idxs]
+            imgs = native.decode_batch(
+                paths, size, train=train, seed=seed * 1_000_003 + bi, num_threads=2
+            )
+            return {"image": imgs, "label": labels}
+        rng = np.random.default_rng((seed, bi))
         imgs = np.empty((len(idxs), size, size, 3), np.uint8)
-        labels = np.empty((len(idxs),), np.int32)
         for j, idx in enumerate(idxs):
             imgs[j] = (
                 dataset.load_train(idx, size, rng)
                 if train
                 else dataset.load_eval(idx, size)
             )
-            labels[j] = dataset.samples[idx][1]
         return {"image": imgs, "label": labels}
 
     q: queue.Queue = queue.Queue(maxsize=num_threads * 2)

@@ -32,3 +32,35 @@ def soft_target_ce(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """CE against soft targets (mixup/cutmix paths; timm SoftTargetCrossEntropy)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return jnp.mean(-jnp.sum(targets.astype(jnp.float32) * logp, axis=-1))
+
+
+def distillation_loss(
+    base_loss: jax.Array,
+    student_dist_logits: jax.Array,
+    teacher_logits: jax.Array,
+    kind: str = "none",
+    alpha: float = 0.5,
+    tau: float = 1.0,
+) -> jax.Array:
+    """DeiT distillation (reference deit/losses.py:10-70).
+
+    kind='soft': KL(student/τ || teacher/τ)·τ², blended with base loss by α.
+    kind='hard': CE against teacher argmax.
+    kind='none': base loss unchanged.
+    """
+    if kind == "none":
+        return base_loss
+    s = student_dist_logits.astype(jnp.float32)
+    t = teacher_logits.astype(jnp.float32)
+    if kind == "soft":
+        logp_s = jax.nn.log_softmax(s / tau, axis=-1)
+        p_t = jax.nn.softmax(t / tau, axis=-1)
+        # KL(p_t || p_s), sum over classes, mean over batch, τ² scaled
+        logp_t = jax.nn.log_softmax(t / tau, axis=-1)
+        kl = jnp.sum(p_t * (logp_t - logp_s), axis=-1)
+        dist = jnp.mean(kl) * (tau ** 2)
+    elif kind == "hard":
+        dist = cross_entropy(s, jnp.argmax(t, axis=-1))
+    else:
+        raise ValueError(f"unknown distillation kind: {kind}")
+    return base_loss * (1.0 - alpha) + dist * alpha

@@ -1,0 +1,96 @@
+"""Tests: distillation loss vs torch oracle, pos-embed interp, randaugment,
+FLOPs counting, log tools."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from mrla_tpu.train.losses import distillation_loss, cross_entropy
+from mrla_tpu.utils import interpolate_pos_embed, reset_classifier, count_params
+from mrla_tpu.utils.logtools import best_from_txt, best_from_jsonl, txt_to_csv
+from mrla_tpu.data.randaugment import rand_augment
+
+
+def test_distillation_soft_matches_torch():
+    rng = np.random.default_rng(0)
+    s = rng.standard_normal((4, 10)).astype(np.float32)
+    t = rng.standard_normal((4, 10)).astype(np.float32)
+    tau, alpha, base = 3.0, 0.5, 1.7
+
+    # torch reference formulation (deit/losses.py soft branch):
+    # KL(log_softmax(s/τ) || softmax(t/τ)) · τ² / numel * ... — deit uses
+    # F.kl_div(..., reduction='sum') * τ² / N
+    st, tt = torch.from_numpy(s), torch.from_numpy(t)
+    kl = F.kl_div(
+        F.log_softmax(st / tau, dim=1), F.log_softmax(tt / tau, dim=1),
+        reduction="sum", log_target=True,
+    ) * (tau * tau) / st.numel() * st.shape[1]
+    # per-sample mean form used in our impl
+    want = base * (1 - alpha) + float(kl) / 1.0 * alpha
+
+    got = float(distillation_loss(jnp.float32(base), jnp.asarray(s), jnp.asarray(t),
+                                  kind="soft", alpha=alpha, tau=tau))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_distillation_hard():
+    s = jnp.asarray([[10.0, 0.0], [0.0, 10.0]])
+    t = jnp.asarray([[5.0, 0.0], [0.0, 5.0]])
+    out = distillation_loss(jnp.float32(1.0), s, t, kind="hard", alpha=1.0)
+    assert float(out) < 0.01  # student already matches teacher argmax
+
+
+def test_interpolate_pos_embed():
+    pe = jnp.asarray(np.random.default_rng(0).standard_normal((1, 1 + 196, 8)),
+                     jnp.float32)
+    out = interpolate_pos_embed(pe, new_num_patches=576)  # 24x24
+    assert out.shape == (1, 577, 8)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(pe[:, 0]))
+    # identity when grid unchanged
+    same = interpolate_pos_embed(pe, 196)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(pe), atol=1e-5)
+
+
+def test_reset_classifier():
+    params = {"head": {"kernel": jnp.ones((8, 10)), "bias": jnp.ones((10,))},
+              "block0": {"w": jnp.ones((3, 3))}}
+    out = reset_classifier(params, 21, jax.random.key(0))
+    assert out["head"]["kernel"].shape == (8, 21)
+    assert float(out["head"]["kernel"].sum()) == 0.0
+    np.testing.assert_array_equal(np.asarray(out["block0"]["w"]), np.ones((3, 3)))
+
+
+def test_rand_augment_batch():
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (4, 24, 24, 3)), jnp.float32
+    )
+    out = rand_augment(jax.random.key(0), imgs)
+    assert out.shape == imgs.shape
+    assert bool(jnp.isfinite(out).all())
+    # different keys -> different augmentations
+    out2 = rand_augment(jax.random.key(1), imgs)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_count_params_and_logtools(tmp_path):
+    assert count_params({"a": jnp.ones((2, 3)), "b": {"c": jnp.ones(5)}}) == 11
+
+    run = tmp_path / "run"
+    os.makedirs(run)
+    with open(run / "val_acc1.txt", "w") as f:
+        f.write("0 10.0\n1 30.0\n2 20.0\n")
+    with open(run / "train_loss.txt", "w") as f:
+        f.write("0 2.0\n1 1.0\n2 0.5\n")
+    with open(run / "log.txt", "w") as f:
+        for e, a in [(0, 10.0), (1, 30.0), (2, 20.0)]:
+            f.write(json.dumps({"epoch": e, "test_acc1": a}) + "\n")
+
+    assert best_from_txt(str(run / "val_acc1.txt")) == {"epoch": 1, "value": 30.0}
+    assert best_from_jsonl(str(run / "log.txt"))["epoch"] == 1
+    n = txt_to_csv(str(run), str(tmp_path / "out.csv"))
+    assert n == 3
