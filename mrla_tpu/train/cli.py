@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--print-freq", type=int, default=50)
     p.add_argument("--bf16", action="store_true", help="bf16 compute dtype")
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler trace of steps 5-15 of the "
+                        "first epoch (xprof-compatible)")
     return p
 
 
@@ -128,6 +131,12 @@ def main(argv=None) -> dict:
 
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
+
+    from mrla_tpu.parallel.launch import init_distributed
+
+    dist_info = init_distributed()
+    if dist_info["process_count"] > 1:
+        print(f"distributed: {dist_info}")
 
     mesh = make_mesh(axes=("data", "model"))
     n_dev = mesh.devices.size
@@ -262,6 +271,11 @@ def main(argv=None) -> dict:
         losses = AverageMeter("loss")
         accs = AverageMeter("acc")
         for i, (b, prenorm) in enumerate(train_batches(epoch)):
+            if args.profile_dir and epoch == start_epoch:
+                if i == 5:
+                    jax.profiler.start_trace(args.profile_dir)
+                elif i == 15:
+                    jax.profiler.stop_trace()
             key = jax.random.fold_in(aug_key, epoch * steps_per_epoch + i)
             if prenorm:
                 images = jnp.asarray(b["image"])
