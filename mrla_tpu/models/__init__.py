@@ -14,5 +14,7 @@ from mrla_tpu.models import resnet_la_eq4  # noqa: F401, E402
 from mrla_tpu.models import deit  # noqa: F401, E402
 from mrla_tpu.models import deit_mrla  # noqa: F401, E402
 from mrla_tpu.models import efficientnet_mrla  # noqa: F401, E402
+from mrla_tpu.models import resmlp  # noqa: F401, E402
+from mrla_tpu.models import patchconvnet  # noqa: F401, E402
 
 __all__ = ["register_model", "create_model", "list_models"]

@@ -40,11 +40,42 @@ def install() -> None:
             mask = torch.floor(keep + torch.rand(shape, dtype=x.dtype))
             return x / keep * mask
 
+    class Mlp(nn.Module):
+        def __init__(self, in_features, hidden_features=None, out_features=None,
+                     act_layer=nn.GELU, drop=0.0):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            self.fc1 = nn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = nn.Linear(hidden_features, out_features)
+            self.drop = nn.Dropout(drop)
+
+        def forward(self, x):
+            return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, img_size=224, patch_size=16, in_chans=3,
+                     embed_dim=768, norm_layer=None):
+            super().__init__()
+            img_size = to_2tuple(img_size)
+            patch_size = to_2tuple(patch_size)
+            self.num_patches = (img_size[0] // patch_size[0]) * (
+                img_size[1] // patch_size[1])
+            self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size,
+                                  stride=patch_size)
+            self.norm = norm_layer(embed_dim) if norm_layer else nn.Identity()
+
+        def forward(self, x):
+            return self.norm(self.proj(x).flatten(2).transpose(1, 2))
+
     timm = types.ModuleType("timm")
     models = types.ModuleType("timm.models")
     vit = types.ModuleType("timm.models.vision_transformer")
     vit.default_cfgs = {}
     vit._cfg = _cfg
+    vit.Mlp = Mlp
+    vit.PatchEmbed = PatchEmbed
     registry = types.ModuleType("timm.models.registry")
     registry.register_model = register_model
     layers = types.ModuleType("timm.models.layers")
