@@ -6,12 +6,13 @@ v5e, bf16).
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/8000}
 
-Methodology: the timed region runs ITERS forwards fully on-device inside one
-jitted lax.scan (inputs resident, a scalar reduction carried through each
-step so no iteration can be elided), then fetches the carried scalar — one
-dispatch, one host round-trip, so the remote-tunnel dispatch latency of this
-environment does not pollute the steady-state number.
-"""
+Methodology: runs the serving engine (mrla_tpu.serving — BN-folded params,
+bf16, logits verified against the Flax model).  The timed region executes
+ITERS forwards fully on-device inside one jitted lax.scan; a carried scalar
+perturbs a 64-element stem bias each step so no iteration can be elided,
+then the carry is fetched — one dispatch, one host round-trip, so the
+remote-tunnel dispatch latency of this environment cannot pollute the
+number (block_until_ready is unreliable through the relay)."""
 
 from __future__ import annotations
 
@@ -30,31 +31,39 @@ BASELINE_IMG_PER_S = 8000.0
 
 def main() -> None:
     from mrla_tpu.models import create_model
+    from mrla_tpu.serving import prepare_inference_params, resnet_mrlal_forward
 
-    model = create_model("resnet50_mrlal", dtype=jnp.bfloat16)
-    rng = jax.random.key(0)
+    model = create_model("resnet50_mrlal")
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
-        rng, jnp.zeros((1, 224, 224, 3), jnp.bfloat16)
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
     )
-    x_host = np.random.default_rng(0).standard_normal((BATCH, 224, 224, 3))
-    x = jax.device_put(jnp.asarray(x_host, dtype=jnp.bfloat16))
+    sp = prepare_inference_params(jax.device_get(variables), dtype=jnp.bfloat16)
+    x = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).standard_normal((BATCH, 224, 224, 3)),
+            jnp.bfloat16,
+        )
+    )
 
     @jax.jit
-    def run_many(v, x):
+    def run_many(sp, x):
         def body(carry, _):
-            logits = model.apply(v, x + carry * 1e-6, train=False)
+            p = dict(sp)
+            stem = dict(p["stem"])
+            stem["b"] = stem["b"] + (carry * 1e-20).astype(stem["b"].dtype)
+            p["stem"] = stem
+            logits = resnet_mrlal_forward(p, x, use_pallas=False)
             return jnp.sum(logits[0]).astype(jnp.float32), None
 
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return carry
 
-    # compile + warmup (result fetched to guarantee completion)
-    float(run_many(variables, x))
+    float(run_many(sp, x))  # compile + warmup (fetch guarantees completion)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run_many(variables, x))
+        float(run_many(sp, x))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

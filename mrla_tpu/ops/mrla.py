@@ -136,6 +136,53 @@ def mrla_base_attention(
     return out.reshape(b, h, w, c), new_cache
 
 
+def mrla_base_attention_fixed(
+    x: jax.Array,
+    params: MRLAParams,
+    heads: int,
+    k_buf: jax.Array,
+    v_buf: jax.Array,
+    t: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """MRLA-base step against FIXED-SIZE cache buffers (the lax.scan form).
+
+    Instead of growing [B, t, ...] concatenations (which force jit to unroll
+    the depth loop with t-specific shapes), the cache is preallocated at the
+    stage's max depth and masked: positions > t contribute -inf logits.
+    Numerically identical to mrla_base_attention (golden-tested).
+
+    Args:
+      x: [B, H, W, C] current block output.
+      k_buf: [B, T_max, C]; v_buf: [B, T_max, H, W, C] — zero-initialized.
+      t: scalar int32, number of cached layers BEFORE this one (0-based
+         write index for this layer's k/v).
+
+    Returns (out, new_k_buf, new_v_buf); caller increments t.
+    """
+    b, h, w, c = x.shape
+    t_max = k_buf.shape[1]
+    d = c // heads
+    q, k_t = _qk_logits(x, params, heads)  # [B,g,d] fp32
+    v_t = depthwise_conv3x3(x, params.wv)  # [B,H,W,C]
+
+    k_buf = jax.lax.dynamic_update_slice_in_dim(
+        k_buf, k_t.reshape(b, 1, c).astype(k_buf.dtype), t, axis=1
+    )
+    v_buf = jax.lax.dynamic_update_slice_in_dim(
+        v_buf, v_t[:, None].astype(v_buf.dtype), t, axis=1
+    )
+
+    kh = k_buf.astype(jnp.float32).reshape(b, t_max, heads, d)
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    logits = jnp.einsum("bgd,btgd->bgt", q, kh) * scale  # [B,g,T_max]
+    mask = jnp.arange(t_max) <= t  # this layer included
+    logits = jnp.where(mask[None, None, :], logits, -jnp.inf)
+    attn = jax.nn.softmax(logits, axis=-1)
+    vh = v_buf.reshape(b, t_max, h, w, heads, d)
+    out = jnp.einsum("bgt,bthwgd->bhwgd", attn.astype(v_buf.dtype), vh)
+    return out.reshape(b, h, w, c), k_buf, v_buf
+
+
 def la_eq4_attention(
     x: jax.Array,
     ctx: jax.Array,

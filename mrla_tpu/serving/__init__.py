@@ -1,0 +1,13 @@
+"""Serving path: hand-scheduled inference engines over trained param trees.
+
+Training and fine-tuning run through the Flax models; serving runs through
+these functional forwards — BNs folded into conv weights at load time, the
+MRLA epilogue fused into one Pallas kernel where the shape supports it.
+"""
+
+from mrla_tpu.serving.resnet_mrlal import (
+    prepare_inference_params,
+    resnet_mrlal_forward,
+)
+
+__all__ = ["prepare_inference_params", "resnet_mrlal_forward"]

@@ -1,0 +1,201 @@
+"""resnet_mrlal inference engine (bf16, BN-folded, fused epilogue).
+
+Numerics: identical math to ResNetMRLALight.apply(train=False) — verified by
+tests — but restructured for serving speed:
+
+  * every BatchNorm is folded into the preceding conv at *load* time
+    (prepare_inference_params): kernel' = kernel · γ/√(var+ε) over the
+    output channel, bias' = β − mean·γ/√(var+ε).  No normalization work at
+    run time.
+  * the MRLA epilogue runs as the fused Pallas kernel
+    (mrla_tpu.kernels.mrla_epilogue) on stages whose W is sublane-aligned;
+    other stages use the jnp form XLA fuses well.
+  * params are pre-cast to bf16 once (conv kernels) so no per-step casts.
+
+Layer layout comes from the Flax model's param tree, so converted PyTorch
+checkpoints (mrla_tpu.ckpt) and orbax-trained params both work unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrla_tpu.kernels.mrla_epilogue import (
+    mrla_light_epilogue_pallas,
+    mrla_light_epilogue_reference,
+    supports_shape,
+)
+from mrla_tpu.ops.common import max_pool_same_torch
+
+BN_EPS = 1e-5
+
+
+def _fold(conv_kernel, bn):
+    """Fold BN (scale,bias,mean,var) into a conv kernel; returns (k', b')."""
+    k = np.asarray(conv_kernel, np.float32)
+    s = np.asarray(bn["scale"], np.float32) / np.sqrt(
+        np.asarray(bn["var"], np.float32) + BN_EPS
+    )
+    b = np.asarray(bn["bias"], np.float32) - np.asarray(bn["mean"], np.float32) * s
+    return k * s, b
+
+
+def _bn_affine(bn):
+    s = np.asarray(bn["scale"], np.float32) / np.sqrt(
+        np.asarray(bn["var"], np.float32) + BN_EPS
+    )
+    b = np.asarray(bn["bias"], np.float32) - np.asarray(bn["mean"], np.float32) * s
+    return s, b
+
+
+def prepare_inference_params(
+    variables: Dict, layers: Sequence[int] = (3, 4, 6, 3), dtype=jnp.bfloat16
+) -> Dict:
+    """Fold BNs and pre-cast; returns a flat serving param tree."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def bn(path_parts):
+        node_p = params
+        node_s = stats
+        for p in path_parts:
+            node_p = node_p[p]
+            node_s = node_s[p]
+        return {**node_p, **node_s}
+
+    out: Dict[str, Any] = {}
+
+    k, b = _fold(params["stem"]["conv1"]["kernel"], bn(("stem", "bn1")))
+    out["stem"] = {"k": jnp.asarray(k, dtype), "b": jnp.asarray(b, dtype)}
+    # Space-to-depth stem (MLPerf trick): the 7x7/2 conv on a 3-channel
+    # input underutilizes the MXU; repack 2x2 spatial blocks into channels
+    # (C=12) and run an equivalent 4x4/1 VALID conv.  Kernel transform:
+    # w4[I,J,(py,px,c),o] = w7[2I+py, 2J+px, c, o], zero where 2I+py > 6.
+    w7 = np.asarray(k, np.float32)  # [7,7,3,64]
+    w4 = np.zeros((4, 4, 2, 2, 3, w7.shape[-1]), np.float32)
+    for big_i in range(4):
+        for py in range(2):
+            if 2 * big_i + py > 6:
+                continue
+            for big_j in range(4):
+                for px in range(2):
+                    if 2 * big_j + px > 6:
+                        continue
+                    w4[big_i, big_j, py, px] = w7[2 * big_i + py, 2 * big_j + px]
+    out["stem"]["k_s2d"] = jnp.asarray(w4.reshape(4, 4, 12, -1), dtype)
+
+    out["blocks"] = []
+    for stage_idx, blocks in enumerate(layers):
+        for block_idx in range(blocks):
+            name = f"layer{stage_idx + 1}_{block_idx}"
+            p = params[name]
+            blk: Dict[str, Any] = {}
+            for ci in (1, 2, 3):
+                k, b = _fold(p[f"conv{ci}"]["kernel"], bn((name, f"bn{ci}")))
+                blk[f"k{ci}"] = jnp.asarray(k, dtype)
+                blk[f"b{ci}"] = jnp.asarray(b, dtype)
+            if "downsample" in p:
+                k, b = _fold(
+                    p["downsample"]["conv"]["kernel"], bn((name, "downsample", "bn"))
+                )
+                blk["kd"] = jnp.asarray(k, dtype)
+                blk["bd"] = jnp.asarray(b, dtype)
+            # MRLA epilogue params; bn_mrla folds into (scale, bias) applied
+            # AFTER (attn + λ·id)
+            mr = p["mrla"]
+            s, b = _bn_affine(bn((name, "bn_mrla")))
+            blk["wq"] = jnp.asarray(mr["mrla"]["proj"]["wq"], jnp.float32)
+            blk["wk"] = jnp.asarray(mr["mrla"]["proj"]["wk"], jnp.float32)
+            blk["wv"] = jnp.asarray(mr["mrla"]["proj"]["wv"], jnp.float32)
+            blk["lam"] = jnp.asarray(mr["lambda_t"], jnp.float32)
+            blk["bn_scale"] = jnp.asarray(s, jnp.float32)
+            blk["bn_bias"] = jnp.asarray(b, jnp.float32)
+            out["blocks"].append(blk)
+
+    out["fc"] = {
+        "k": jnp.asarray(params["head"]["fc"]["kernel"], dtype),
+        "b": jnp.asarray(params["head"]["fc"]["bias"], jnp.float32),
+    }
+    return out
+
+
+def _conv(x, k, b, stride=1, groups=1):
+    y = jax.lax.conv_general_dilated(
+        x, k, (stride, stride),
+        "SAME" if k.shape[0] > 1 else "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return y + b.astype(y.dtype)
+
+
+def _stem(x, p):
+    b, h, w, c = x.shape
+    if "k_s2d" in p and h % 2 == 0 and w % 2 == 0:
+        # space-to-depth: pad 3 -> [H+6, W+6]; repack 2x2 blocks into
+        # channels -> [(H+6)/2, (W+6)/2, 12]; 4x4 VALID conv == 7x7/2 SAME.
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        hp, wp = h + 6, w + 6
+        xp = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * c)
+        y = jax.lax.conv_general_dilated(
+            xp, p["k_s2d"], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, p["k"], (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    y = jax.nn.relu(y + p["b"].astype(y.dtype))
+    return max_pool_same_torch(y, 3, 2)
+
+
+def _block(x, p, stride: int, heads: int, use_pallas: bool):
+    out = jax.nn.relu(_conv(x, p["k1"], p["b1"]))
+    out = jax.nn.relu(_conv(out, p["k2"], p["b2"], stride=stride))
+    out = _conv(out, p["k3"], p["b3"])
+    identity = _conv(x, p["kd"], p["bd"], stride=stride) if "kd" in p else x
+    out = jax.nn.relu(out + identity)
+
+    _, h, w, c = out.shape
+    fn = (
+        mrla_light_epilogue_pallas
+        if use_pallas and supports_shape(h, w, c)
+        else mrla_light_epilogue_reference
+    )
+    return fn(
+        out, identity, p["wq"], p["wk"], p["wv"], p["lam"],
+        p["bn_scale"], p["bn_bias"], heads,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layers", "dim_perhead", "use_pallas")
+)
+def resnet_mrlal_forward(
+    serving_params: Dict,
+    x: jax.Array,
+    layers: Sequence[int] = (3, 4, 6, 3),
+    dim_perhead: int = 32,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """[B, H, W, 3] (any float dtype; cast to the param dtype) -> logits fp32."""
+    strides = []
+    for stage_idx, blocks in enumerate(layers):
+        for block_idx in range(blocks):
+            strides.append(2 if (stage_idx > 0 and block_idx == 0) else 1)
+
+    x = x.astype(serving_params["stem"]["k"].dtype)
+    y = _stem(x, serving_params["stem"])
+    for p, stride in zip(serving_params["blocks"], strides):
+        heads = p["lam"].shape[0] // dim_perhead
+        y = _block(y, p, stride, heads, use_pallas)
+    pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+    fc = serving_params["fc"]
+    return pooled @ fc["k"].astype(jnp.float32) + fc["b"]

@@ -86,6 +86,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop-rate", type=float, default=0.0)
     p.add_argument("--ema-decay", type=float, default=0.0)
     p.add_argument("--repeated-aug", action="store_true")
+    # distillation (deit/main.py:330-353 plumbing)
+    p.add_argument("--distillation-type", default="none",
+                   choices=["none", "soft", "hard"])
+    p.add_argument("--teacher-arch", default="resnet50")
+    p.add_argument("--teacher-resume", default="",
+                   help="orbax dir with the teacher TrainState")
+    p.add_argument("--distillation-alpha", type=float, default=0.5)
+    p.add_argument("--distillation-tau", type=float, default=1.0)
     # run control
     p.add_argument("-e", "--evaluate", action="store_true")
     p.add_argument("--resume", default="")
@@ -189,12 +197,33 @@ def main(argv=None) -> dict:
     else:
         loss_fn = cross_entropy
 
+    teacher_fn = None
+    if args.distillation_type != "none":
+        teacher = create_model(args.teacher_arch, num_classes=args.num_classes,
+                               dtype=dtype)
+        t_vars = teacher.init(jax.random.key(args.seed + 7), sample, train=False)
+        if args.teacher_resume:
+            t_state = create_train_state(
+                teacher, jax.random.key(0), sample,
+                build_optimizer(args, t_vars["params"], steps_per_epoch))
+            restored = restore_checkpoint(args.teacher_resume, t_state)
+            if restored is not None:
+                t_state = restored[0]
+                t_vars = {"params": t_state.params}
+                if t_state.batch_stats:
+                    t_vars["batch_stats"] = t_state.batch_stats
+        teacher_fn = lambda images: teacher.apply(t_vars, images, train=False)
+
     train_step = jax.jit(
         make_train_step(
             loss_fn=loss_fn,
             grad_clip_norm=args.clip_grad,
             has_droppath=args.drop_path > 0,
             has_dropout=args.drop_rate > 0,
+            teacher_fn=teacher_fn,
+            distill_kind=args.distillation_type,
+            distill_alpha=args.distillation_alpha,
+            distill_tau=args.distillation_tau,
         )
     )
     eval_step = jax.jit(make_eval_step(use_ema=args.ema_decay > 0))

@@ -28,12 +28,21 @@ def make_train_step(
     grad_clip_norm: Optional[float] = None,
     has_droppath: bool = False,
     has_dropout: bool = False,
+    teacher_fn: Optional[Callable] = None,
+    distill_kind: str = "none",
+    distill_alpha: float = 0.5,
+    distill_tau: float = 1.0,
 ):
     """Build a jittable train step.
 
     batch: {"image": [B,H,W,C], "label": [B] int or [B,K] soft}.
-    Returns (new_state, metrics).
+    teacher_fn(images) -> logits enables DeiT-style distillation
+    (deit/losses.py semantics): distilled student models return
+    (cls_logits, dist_logits) in train mode — base loss applies to cls,
+    the distillation term to dist; plain models use their single head for
+    both.  Returns (new_state, metrics).
     """
+    from mrla_tpu.train.losses import distillation_loss
 
     def train_step(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -58,8 +67,18 @@ def make_train_step(
                 rngs=rngs or None,
             )
             logits, new_model_state = out if mutable else (out, {})
-            loss = loss_fn(logits, batch["label"])
-            return loss, (logits, new_model_state)
+            if isinstance(logits, tuple):
+                cls_logits, dist_logits = logits
+            else:
+                cls_logits = dist_logits = logits
+            loss = loss_fn(cls_logits, batch["label"])
+            if teacher_fn is not None and distill_kind != "none":
+                t_logits = jax.lax.stop_gradient(teacher_fn(batch["image"]))
+                loss = distillation_loss(
+                    loss, dist_logits, t_logits, kind=distill_kind,
+                    alpha=distill_alpha, tau=distill_tau,
+                )
+            return loss, (cls_logits, new_model_state)
 
         (loss, (logits, new_model_state)), grads = jax.value_and_grad(
             compute_loss, has_aux=True

@@ -64,15 +64,52 @@ def txt_to_csv(run_dir: str, out_path: str, metrics=("train_loss", "val_acc1",
     return len(epochs)
 
 
+def plot_curves(run_dir: str, out_path: str,
+                metrics=("train_loss", "val_acc1", "val_acc5")) -> bool:
+    """Training-curve PNG (resnet/eval_visual.py capability)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+
+    fig, axes = plt.subplots(1, len(metrics), figsize=(5 * len(metrics), 4))
+    if len(metrics) == 1:
+        axes = [axes]
+    plotted = False
+    for ax, m in zip(axes, metrics):
+        p = os.path.join(run_dir, f"{m}.txt")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            pts = [(int(l.split()[0]), float(l.split()[1])) for l in f if l.strip()]
+        if pts:
+            xs, ys = zip(*sorted(pts))
+            ax.plot(xs, ys)
+            ax.set_title(m)
+            ax.set_xlabel("epoch")
+            plotted = True
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+    return plotted
+
+
 if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser("log tools")
     p.add_argument("run_dir")
     p.add_argument("--csv", default=None)
+    p.add_argument("--plot", default=None, help="write training-curve PNG")
     args = p.parse_args()
     print("best val_acc1:", best_from_txt(os.path.join(args.run_dir, "val_acc1.txt")))
     print("best jsonl:", best_from_jsonl(os.path.join(args.run_dir, "log.txt")))
     if args.csv:
         n = txt_to_csv(args.run_dir, args.csv)
         print(f"wrote {n} epochs to {args.csv}")
+    if args.plot:
+        ok = plot_curves(args.run_dir, args.plot)
+        print(f"plot {'written to ' + args.plot if ok else 'skipped'}")

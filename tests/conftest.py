@@ -19,6 +19,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: do NOT enable jax_compilation_cache_dir here — compiles route
+# through this machine's remote-compile service and the cached CPU AOT
+# artifacts target the SERVER's microarchitecture (SIGILL risk on load).
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"

@@ -1,0 +1,46 @@
+"""Pallas kernel tests — require the real TPU (marked `tpu`; excluded from
+the CPU suite; run manually with:  pytest -m tpu --no-header tests/)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu_backend():
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            pytest.skip("no TPU available")
+    except Exception:
+        pytest.skip("no TPU available")
+    return dev
+
+
+def test_fused_epilogue_matches_reference(tpu_backend):
+    from mrla_tpu.kernels.mrla_epilogue import (
+        mrla_light_epilogue_pallas,
+        mrla_light_epilogue_reference,
+        supports_shape,
+    )
+
+    B, H, W, C, G = 4, 16, 16, 256, 8
+    assert supports_shape(H, W, C)
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.bfloat16)
+    out, idn = mk(B, H, W, C), mk(B, H, W, C)
+    wq = jnp.asarray(rng.standard_normal(5), jnp.float32) * 0.2
+    wk = jnp.asarray(rng.standard_normal(5), jnp.float32) * 0.2
+    wv = jnp.asarray(rng.standard_normal((3, 3, 1, C)), jnp.float32) * 0.2
+    lam = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    sc = jnp.abs(jnp.asarray(rng.standard_normal(C), jnp.float32))
+    bi = jnp.asarray(rng.standard_normal(C), jnp.float32)
+
+    args = (out, idn, wq, wk, wv, lam, sc, bi, G)
+    got = np.asarray(mrla_light_epilogue_pallas(*args), np.float32)
+    ref = np.asarray(mrla_light_epilogue_reference(*args), np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.125)  # bf16 output ulp

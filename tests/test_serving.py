@@ -1,0 +1,54 @@
+"""Serving engine: BN-folded forward matches the Flax model (CPU, jnp path).
+
+The Pallas kernel itself is TPU-only (tested in tests/test_kernels_tpu.py,
+marked `tpu`); here the numerics of the serving restructure — BN folding,
+space-to-depth stem, folded epilogue — are verified against model.apply."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mrla_tpu.models.resnet_mrla_light import ResNetMRLALight
+from mrla_tpu.serving import prepare_inference_params, resnet_mrlal_forward
+
+
+def test_serving_matches_flax():
+    layers = (1, 1, 1, 1)
+    model = ResNetMRLALight(layers=list(layers), num_classes=10)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    # make BN stats non-trivial so folding is actually exercised
+    variables = jax.device_get(variables)
+    rng = np.random.default_rng(0)
+    stats = jax.tree.map(
+        lambda v: v + rng.uniform(0.1, 0.5, v.shape).astype(v.dtype),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    want = np.asarray(
+        model.apply(jax.tree.map(jnp.asarray, variables), x, train=False)
+    )
+
+    sp = prepare_inference_params(variables, layers=layers, dtype=jnp.float32)
+    got = np.asarray(
+        resnet_mrlal_forward(sp, x, layers=layers, use_pallas=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_serving_bf16_agrees_on_predictions():
+    layers = (1, 1, 1, 1)
+    model = ResNetMRLALight(layers=list(layers), num_classes=10)
+    variables = jax.device_get(
+        model.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)), train=False)
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+    want = np.asarray(
+        model.apply(jax.tree.map(jnp.asarray, variables), x, train=False)
+    )
+    sp = prepare_inference_params(variables, layers=layers, dtype=jnp.bfloat16)
+    got = np.asarray(resnet_mrlal_forward(sp, x, layers=layers, use_pallas=False))
+    assert (got.argmax(-1) == want.argmax(-1)).all()
