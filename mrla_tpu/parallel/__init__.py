@@ -12,6 +12,7 @@ from mrla_tpu.parallel.mesh import (
     shard_batch,
     local_mesh,
 )
+from mrla_tpu.parallel.sharding import tp_shardings, shard_train_state
 
 __all__ = [
     "make_mesh",
@@ -19,4 +20,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "local_mesh",
+    "tp_shardings",
+    "shard_train_state",
 ]

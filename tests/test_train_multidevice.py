@@ -84,3 +84,39 @@ def test_eval_step_topk():
     out = ev(state, jax.tree.map(jnp.asarray, batch))
     assert int(out["count"]) == 8
     assert 0 <= int(out["top1"]) <= int(out["top5"]) <= 8
+
+
+def test_tp_sharding_rules():
+    """TP over 'model': large kernels shard on the output channel; loss
+    matches the replicated run."""
+    from jax.sharding import PartitionSpec as P
+
+    from mrla_tpu.parallel import tp_shardings, shard_train_state
+
+    mesh = make_mesh(axes=("data", "model"), shape=(4, 2))
+    model, state = _tiny_state()
+    sh = tp_shardings(state.params, mesh, min_elements=1 << 10)
+    import flax
+
+    flat_p = flax.traverse_util.flatten_dict(state.params)
+    flat_s = flax.traverse_util.flatten_dict(sh)
+    sharded = [k for k in flat_p
+               if flat_s[k].spec != P() and flat_p[k].ndim >= 2]
+    assert sharded, "expected at least one TP-sharded kernel"
+    for k in sharded:
+        assert flat_p[k].shape[-1] % 2 == 0
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+        "label": (np.arange(8) % 10).astype(np.int32),
+    }
+    step = make_train_step()
+    s_ref, m_ref = jax.jit(step)(state, jax.tree.map(jnp.asarray, batch),
+                                 jax.random.key(0))
+    state_tp = shard_train_state(state, mesh)
+    with mesh:
+        s_tp, m_tp = jax.jit(step)(state_tp, shard_batch(batch, mesh),
+                                   jax.random.key(0))
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
+                               rtol=1e-5)
