@@ -7,7 +7,7 @@ branch (bn3) is zero-initialized when ``zero_init_last_bn``.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ TPU-first: bf16 compute, fp32 LayerNorm/softmax, static token count.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

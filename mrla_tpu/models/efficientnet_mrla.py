@@ -18,7 +18,7 @@ residual; dropout 0.2 before the classifier.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ compute dtype configurable (bf16 on TPU), BN in fp32 params.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional, Sequence
 
 import jax

@@ -8,7 +8,6 @@ on TPU they fuse entirely into the surrounding block epilogue.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from mrla_tpu.ops.common import channel_conv1d, global_avg_pool
 

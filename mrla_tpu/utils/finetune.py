@@ -7,7 +7,7 @@
 from __future__ import annotations
 
 import math
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
