@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
     # run control
     p.add_argument("-e", "--evaluate", action="store_true")
     p.add_argument("--resume", default="")
+    p.add_argument("--finetune", default="",
+                   help="orbax dir to initialize params from (deit/main.py:"
+                        "259-293 semantics: pos-embed bicubic interpolation "
+                        "when the grid changes, head re-init when "
+                        "num_classes changes)")
     p.add_argument("--output-dir", default="./runs/default")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workers", type=int, default=8)
@@ -181,6 +186,32 @@ def main(argv=None) -> dict:
     state = create_train_state(
         model, rng, sample, make_tx(variables["params"]), ema_decay=args.ema_decay
     )
+
+    if args.finetune:
+        from mrla_tpu.utils.finetune import interpolate_pos_embed, reset_classifier
+
+        restored = restore_checkpoint(args.finetune, state)
+        if restored is None:
+            raise FileNotFoundError(f"--finetune checkpoint not found: "
+                                    f"{args.finetune}")
+        src = restored[0].params
+        dst = state.params
+        if "pos_embed" in src and src["pos_embed"].shape != dst["pos_embed"].shape:
+            n_extra = 2 if "dist_token" in dst else 1
+            src = dict(src)
+            src["pos_embed"] = interpolate_pos_embed(
+                src["pos_embed"], dst["pos_embed"].shape[1] - n_extra, n_extra
+            )
+        head_names = [n for n in ("head", "head_dist") if n in src]
+        if head_names and any(
+            jax.tree.leaves(src[n])[0].shape != jax.tree.leaves(dst[n])[0].shape
+            for n in head_names
+        ):
+            src = reset_classifier(src, args.num_classes, jax.random.key(9))
+        state = state.replace(params=src,
+                              batch_stats=restored[0].batch_stats or
+                              state.batch_stats)
+        print(f"finetuning from {args.finetune}")
 
     start_epoch, best_acc1 = 0, 0.0
     if args.resume:
