@@ -142,6 +142,92 @@ def _fused_call(out, identity, gate, wv_flat, lam, bn_scale, bn_bias):
     )
 
 
+def _mega_kernel(
+    z_ref,  # [1, H, W, CT] pre-residual (conv3+BN output)
+    i_ref,  # [1, H, W, CT] identity
+    gate_ref,  # [1, 1, CT]
+    wv_ref,  # [9, CT]
+    lam_ref,
+    sc_ref,
+    bi_ref,
+    y_ref,
+):
+    """Residual + ReLU + the whole epilogue in one pass: `out` never
+    round-trips to HBM (saves its write + one read per block)."""
+    idv = i_ref[0].astype(jnp.float32)
+    x = jnp.maximum(z_ref[0].astype(jnp.float32) + idv, 0.0)
+    h, w, ct = x.shape
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    acc = jnp.zeros((h, w, ct), jnp.float32)
+    for dh in (0, 1, 2):
+        xh = xp[dh : dh + h]
+        for dwi, dw in enumerate((-1, 0, 1)):
+            tap = wv_ref[dh * 3 + dwi].astype(jnp.float32).reshape(1, 1, ct)
+            if dw == 0:
+                acc = acc + xh * tap
+            else:
+                s = pltpu.roll(xh, (-dw) % w, 1)
+                valid = (col >= 1) if dw == -1 else (col <= w - 2)
+                acc = acc + jnp.where(valid, s * tap, 0.0)
+    gate = gate_ref[0, 0].astype(jnp.float32).reshape(1, 1, ct)
+    lam = lam_ref[0].astype(jnp.float32).reshape(1, 1, ct)
+    sc = sc_ref[0].astype(jnp.float32).reshape(1, 1, ct)
+    bi = bi_ref[0].astype(jnp.float32).reshape(1, 1, ct)
+    y_ref[0] = (x + (acc * gate + lam * idv) * sc + bi).astype(y_ref.dtype)
+
+
+def mrla_block_tail_pallas(
+    z: jax.Array,
+    identity: jax.Array,
+    wq: jax.Array,
+    wk: jax.Array,
+    wv: jax.Array,
+    lam: jax.Array,
+    bn_scale: jax.Array,
+    bn_bias: jax.Array,
+    heads: int,
+) -> jax.Array:
+    """Mega-fused block tail: y = epilogue(relu(z + identity), identity).
+
+    z is the pre-residual conv3+BN output.  The gate is computed in jnp
+    (XLA fuses relu(z+id) into its reduction without materializing `out`);
+    the kernel recomputes relu(z+id) in VMEM.  Requires supports_shape.
+    Measured (v5e, stage-1): 3.55 ms vs 4.94 ms for the fused XLA chain
+    (isolated); compile ~340 s per shape (Mosaic pathology — the padded
+    operand is a computed value rather than a load)."""
+    b, h, w, c = z.shape
+    assert supports_shape(h, w, c)
+    ct = min(CHANNEL_TILE, c)
+    out_act = jax.nn.relu(
+        z.astype(jnp.float32) + identity.astype(jnp.float32)
+    ).astype(z.dtype)
+    gate = mrla_light_gate(out_act, wq, wk, heads)
+
+    ms = pl.BlockSpec((1, h, w, ct), lambda a, b_: (a, 0, 0, b_),
+                      memory_space=pltpu.VMEM)
+    vs = lambda r: pl.BlockSpec((r, ct), lambda a, b_: (0, b_),
+                                memory_space=pltpu.VMEM)
+    gs = pl.BlockSpec((1, 1, ct), lambda a, b_: (a, 0, b_),
+                      memory_space=pltpu.VMEM)
+    row = lambda a: a.reshape(1, c).astype(jnp.float32)
+    return pl.pallas_call(
+        _mega_kernel,
+        grid=(b, c // ct),
+        in_specs=[ms, ms, gs, vs(9), vs(1), vs(1), vs(1)],
+        out_specs=ms,
+        out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
+    )(
+        z,
+        identity,
+        gate.reshape(b, 1, c).astype(jnp.float32),
+        wv.reshape(9, c).astype(jnp.float32),
+        row(lam),
+        row(bn_scale),
+        row(bn_bias),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("heads",))
 def mrla_light_epilogue_pallas(
     out: jax.Array,

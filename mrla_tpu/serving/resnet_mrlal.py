@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mrla_tpu.kernels.mrla_epilogue import (
+    mrla_block_tail_pallas,
     mrla_light_epilogue_pallas,
     mrla_light_epilogue_reference,
     supports_shape,
@@ -159,17 +160,19 @@ def _stem(x, p):
 def _block(x, p, stride: int, heads: int, use_pallas: bool):
     out = jax.nn.relu(_conv(x, p["k1"], p["b1"]))
     out = jax.nn.relu(_conv(out, p["k2"], p["b2"], stride=stride))
-    out = _conv(out, p["k3"], p["b3"])
+    z = _conv(out, p["k3"], p["b3"])  # pre-residual
     identity = _conv(x, p["kd"], p["bd"], stride=stride) if "kd" in p else x
-    out = jax.nn.relu(out + identity)
 
-    _, h, w, c = out.shape
-    fn = (
-        mrla_light_epilogue_pallas
-        if use_pallas and supports_shape(h, w, c)
-        else mrla_light_epilogue_reference
-    )
-    return fn(
+    _, h, w, c = z.shape
+    if use_pallas and supports_shape(h, w, c):
+        # mega-fused: residual+relu+epilogue in one kernel; `out` never
+        # round-trips through HBM.
+        return mrla_block_tail_pallas(
+            z, identity, p["wq"], p["wk"], p["wv"], p["lam"],
+            p["bn_scale"], p["bn_bias"], heads,
+        )
+    out = jax.nn.relu(z + identity)
+    return mrla_light_epilogue_reference(
         out, identity, p["wq"], p["wk"], p["wv"], p["lam"],
         p["bn_scale"], p["bn_bias"], heads,
     )
