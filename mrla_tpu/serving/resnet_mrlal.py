@@ -31,6 +31,7 @@ from mrla_tpu.kernels.mrla_epilogue import (
     mrla_light_epilogue_reference,
     supports_shape,
 )
+from mrla_tpu.kernels.mrla_epilogue_hwbc import mrla_block_tail_hwbc
 from mrla_tpu.ops.common import max_pool_same_torch
 
 BN_EPS = 1e-5
@@ -157,17 +158,20 @@ def _stem(x, p):
     return max_pool_same_torch(y, 3, 2)
 
 
-def _block(x, p, stride: int, heads: int, use_pallas: bool):
+def _block(x, p, stride: int, heads: int, use_pallas: bool,
+           hwbc_min_w: int = 28):
     out = jax.nn.relu(_conv(x, p["k1"], p["b1"]))
     out = jax.nn.relu(_conv(out, p["k2"], p["b2"], stride=stride))
     z = _conv(out, p["k3"], p["b3"])  # pre-residual
     identity = _conv(x, p["kd"], p["bd"], stride=stride) if "kd" in p else x
 
     _, h, w, c = z.shape
-    if use_pallas and supports_shape(h, w, c):
-        # mega-fused: residual+relu+epilogue in one kernel; `out` never
-        # round-trips through HBM.
-        return mrla_block_tail_pallas(
+    if use_pallas and w >= hwbc_min_w and x.shape[0] % 8 == 0:
+        # layout-native mega-fused tail (HWBC kernel): residual+relu+
+        # epilogue in one pass over XLA's native {3,0,2,1} activation
+        # layout — boundary transposes fold to bitcasts.  Wins for large
+        # spatial stages; short W pipelines (stage 3/4) stay on jnp.
+        return mrla_block_tail_hwbc(
             z, identity, p["wq"], p["wk"], p["wv"], p["lam"],
             p["bn_scale"], p["bn_bias"], heads,
         )

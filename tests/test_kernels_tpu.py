@@ -44,3 +44,31 @@ def test_fused_epilogue_matches_reference(tpu_backend):
     got = np.asarray(mrla_light_epilogue_pallas(*args), np.float32)
     ref = np.asarray(mrla_light_epilogue_reference(*args), np.float32)
     np.testing.assert_allclose(got, ref, atol=0.125)  # bf16 output ulp
+
+
+def test_hwbc_block_tail_matches_reference(tpu_backend):
+    import jax.numpy as jnp
+
+    from mrla_tpu.kernels.mrla_epilogue import mrla_light_epilogue_reference
+    from mrla_tpu.kernels.mrla_epilogue_hwbc import mrla_block_tail_hwbc
+
+    B, H, W, C, G = 8, 16, 16, 256, 8
+    rng = np.random.default_rng(1)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.bfloat16)
+    z, idn = mk(B, H, W, C), mk(B, H, W, C)
+    wq = jnp.asarray(rng.standard_normal(5), jnp.float32) * 0.2
+    wk = jnp.asarray(rng.standard_normal(5), jnp.float32) * 0.2
+    wv = jnp.asarray(rng.standard_normal((3, 3, 1, C)), jnp.float32) * 0.2
+    lam = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    sc = jnp.abs(jnp.asarray(rng.standard_normal(C), jnp.float32))
+    bi = jnp.asarray(rng.standard_normal(C), jnp.float32)
+
+    got = np.asarray(
+        jax.jit(lambda z, i: mrla_block_tail_hwbc(z, i, wq, wk, wv, lam, sc,
+                                                  bi, G))(z, idn), np.float32)
+    out = jax.nn.relu(z.astype(jnp.float32) + idn.astype(jnp.float32)).astype(
+        z.dtype)
+    ref = np.asarray(
+        mrla_light_epilogue_reference(out, idn, wq, wk, wv, lam, sc, bi, G),
+        np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.125)
