@@ -10,25 +10,7 @@ from mrla_tpu.models.resnet_mrla_base import ResNetMRLABase
 LAYERS = [2, 3]  # exercises a scanned stage of length 1 and of length 2
 
 
-def _unstack_scan_params(tree):
-    """Convert {'layerS_scan': stacked} -> per-block {'layerS_i': ...} to
-    feed the unrolled model."""
-    flat = flax.traverse_util.flatten_dict(tree)
-    out = {}
-    for key, v in flat.items():
-        if "_scan" in key[0]:
-            stage = key[0].replace("_scan", "")
-            n = v.shape[0]
-            for i in range(n):
-                sub = list(key[1:])
-                # scan block names projections 'mrla_proj_scan'; unrolled
-                # nests them as mrla/mrla/proj
-                if sub[0] == "mrla_proj_scan":
-                    sub = ["mrla", "mrla", "proj"] + sub[1:]
-                out[(f"{stage}_{i + 1}", *sub)] = v[i]
-        else:
-            out[key] = v
-    return flax.traverse_util.unflatten_dict(out)
+from mrla_tpu.ckpt.scan_adapter import unstack_scan_params as _unstack_scan_params
 
 
 def test_scan_matches_unrolled_eval():
