@@ -19,6 +19,15 @@ import numpy as np
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
+def _PIL_RESAMPLE(interpolation: str):
+    from PIL import Image
+
+    try:
+        return {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC}[interpolation]
+    except KeyError:
+        raise ValueError(f"unknown interpolation {interpolation!r}") from None
+
+
 class ImageFolder:
     """Scans root/class_x/*.jpg; stable class order = sorted names."""
 
@@ -42,34 +51,49 @@ class ImageFolder:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def load_train(self, idx: int, size: int, rng: np.random.Generator) -> np.ndarray:
-        """RandomResizedCrop geometry on host -> [size, size, 3] uint8."""
+    def load_train(
+        self,
+        idx: int,
+        size: int,
+        rng: np.random.Generator,
+        interpolation: str = "bilinear",
+    ) -> np.ndarray:
+        """RandomResizedCrop geometry on host -> [size, size, 3] uint8.
+
+        interpolation: 'bilinear' = the torchvision-default ResNet recipe
+        (resnet/train.py:254-258); 'bicubic' = the timm create_transform
+        default used by the DeiT recipe (deit/datasets.py:78-105).
+        """
         from PIL import Image
 
         from mrla_tpu.data.transforms import random_resized_crop_params
 
+        resample = _PIL_RESAMPLE(interpolation)
         path, _ = self.samples[idx]
         with Image.open(path) as im:
             im = im.convert("RGB")
             w, h = im.size
             top, left, ch, cw = random_resized_crop_params(rng, h, w)
             im = im.resize(
-                (size, size), Image.BILINEAR, box=(left, top, left + cw, top + ch)
+                (size, size), resample, box=(left, top, left + cw, top + ch)
             )
             return np.asarray(im, np.uint8)
 
-    def load_eval(self, idx: int, size: int) -> np.ndarray:
+    def load_eval(
+        self, idx: int, size: int, interpolation: str = "bilinear"
+    ) -> np.ndarray:
         """Resize-shorter-side + center crop -> [size, size, 3] uint8."""
         from PIL import Image
 
         from mrla_tpu.data.transforms import eval_transform_params
 
+        resample = _PIL_RESAMPLE(interpolation)
         path, _ = self.samples[idx]
         with Image.open(path) as im:
             im = im.convert("RGB")
             w, h = im.size
             rh, rw, top, left, c = eval_transform_params(h, w, size)
-            im = im.resize((rw, rh), Image.BILINEAR)
+            im = im.resize((rw, rh), resample)
             im = im.crop((left, top, left + c, top + c))
             return np.asarray(im, np.uint8)
 
@@ -83,6 +107,7 @@ def iterate_batches(
     seed: int = 0,
     num_threads: int = 8,
     drop_last: Optional[bool] = None,
+    interpolation: str = "bilinear",
 ) -> Iterator[dict]:
     """Threaded prefetching batch iterator yielding
     {"image": uint8 [B,S,S,3], "label": int32 [B]}."""
@@ -99,8 +124,11 @@ def iterate_batches(
     try:
         from mrla_tpu.data import native
 
-        use_native = native.available() and all(
-            p.lower().endswith((".jpg", ".jpeg")) for p, _ in dataset.samples
+        # The C++ path resamples bilinearly; keep PIL for bicubic recipes.
+        use_native = (
+            interpolation == "bilinear"
+            and native.available()
+            and all(p.lower().endswith((".jpg", ".jpeg")) for p, _ in dataset.samples)
         )
     except Exception:
         use_native = False
@@ -118,9 +146,9 @@ def iterate_batches(
         imgs = np.empty((len(idxs), size, size, 3), np.uint8)
         for j, idx in enumerate(idxs):
             imgs[j] = (
-                dataset.load_train(idx, size, rng)
+                dataset.load_train(idx, size, rng, interpolation)
                 if train
-                else dataset.load_eval(idx, size)
+                else dataset.load_eval(idx, size, interpolation)
             )
         return {"image": imgs, "label": labels}
 

@@ -10,6 +10,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libmrla_loader.so loader.cc -ljpeg -lpthread
 
+#include <csetjmp>
 #include <cstddef>
 #include <cstdio>
 
@@ -32,12 +33,34 @@ struct Image {
   int h = 0, w = 0;
 };
 
+// libjpeg's default error_exit calls exit(): one corrupt/truncated JPEG
+// would abort the whole training process.  Install a handler that longjmps
+// back into decode_jpeg so it can return false (caller zero-fills the slot,
+// honoring the API contract below).
+struct JmpErrorMgr {
+  jpeg_error_mgr pub;
+  std::jmp_buf setjmp_buffer;
+};
+
+void jmp_error_exit(j_common_ptr cinfo) {
+  auto* mgr = reinterpret_cast<JmpErrorMgr*>(cinfo->err);
+  std::longjmp(mgr->setjmp_buffer, 1);
+}
+
 bool decode_jpeg(const char* path, Image* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JmpErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jmp_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    // Any fatal libjpeg error (bad header mid-stream, truncated data,
+    // corrupt entropy coding) lands here instead of exit().
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {

@@ -42,5 +42,7 @@ def ra_sampler_indices(
     total = int(math.ceil(len(repeated) / world_size)) * world_size
     repeated = np.concatenate([repeated, repeated[: total - len(repeated)]])
     sel = repeated[rank:total:world_size]
-    num_selected = int(math.floor(n / 256.0 * 256 / world_size))
+    # deit/samplers.py:35: floor(len(dataset) // 256 * 256 / num_replicas) —
+    # integer-truncate to a 256 multiple FIRST, then split across ranks.
+    num_selected = int(math.floor(n // 256 * 256 / world_size))
     return sel[:num_selected]

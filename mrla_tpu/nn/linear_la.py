@@ -28,17 +28,24 @@ FEATURE_MAPS: dict[str, Callable] = {
 
 
 class LinearLayerAttention(nn.Module):
-    """Full-rank linear LA: s [B,C,CHW] running KV summary."""
+    """Full-rank linear LA: s [B,C,CHW] running KV summary.
+
+    svd=True carries the state factorized (reference linear_la.py:86-105);
+    svd_rank truncates it to a rank-k compression.
+    """
 
     feature_map: str = "elu"
     eps: float = 1e-6
     k_size: Optional[int] = None
+    svd: bool = False
+    svd_rank: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, s, z):
         params = _MRLAProjections(self.k_size, name="proj")(x.shape[-1])
         return linear_la_step(
-            x, s, z, params, phi=FEATURE_MAPS[self.feature_map], eps=self.eps
+            x, s, z, params, phi=FEATURE_MAPS[self.feature_map], eps=self.eps,
+            svd=self.svd, svd_rank=self.svd_rank,
         )
 
 

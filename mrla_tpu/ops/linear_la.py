@@ -39,27 +39,56 @@ def _qkv(x: jax.Array, params: MRLAParams, phi: Callable):
     return q, k, v
 
 
+def svd_compress(s: jax.Array, rank: int | None = None):
+    """Factorize the running state s [B, C, D] -> (u, sig, vh).
+
+    Reference LinearLayerAttention(svd=True) stores s between layers as a
+    reduced SVD (linear_la.py:86-105: reconstruct u·diag(σ)·vᵀ on entry,
+    torch.svd(some=True) on exit).  `rank` additionally truncates to the
+    top-k singular triples (rank-k compression of the state); None keeps
+    the reference's reduced (full-rank) factorization.
+    """
+    u, sig, vh = jnp.linalg.svd(s, full_matrices=False)
+    if rank is not None:
+        u, sig, vh = u[..., :rank], sig[..., :rank], vh[..., :rank, :]
+    return u, sig, vh
+
+
+def svd_reconstruct(fac) -> jax.Array:
+    """Inverse of svd_compress: (u, sig, vh) -> u·diag(σ)·vh."""
+    u, sig, vh = fac
+    return jnp.einsum("...ck,...k,...kd->...cd", u, sig, vh)
+
+
 def linear_la_step(
     x: jax.Array,
-    s: jax.Array | None,
+    s,
     z: jax.Array | None,
     params: MRLAParams,
     phi: Callable = elu_feature_map,
     eps: float = 1e-6,
+    svd: bool = False,
+    svd_rank: int | None = None,
 ):
     """Full-rank linear layer attention step (reference LinearLayerAttention).
 
     State: s [B, C, C*H*W], z [B, C].  Pass s=z=None to start the recurrence.
-    Returns (out [B,H,W,C], s, z).
+    With svd=True the state is carried FACTORIZED as (u, sig, vh)
+    (linear_la.py:86-105) — reconstructed before the update and re-factorized
+    (optionally truncated to svd_rank) after.  Returns (out [B,H,W,C], s, z).
     """
     b, h, w, c = x.shape
     q, k, v = _qkv(x, params, phi)
     vf = v.astype(jnp.float32).reshape(b, c * h * w)
     kv = jnp.einsum("bc,bd->bcd", k, vf)  # [B, C, CHW]
+    if svd and s is not None:
+        s = svd_reconstruct(s)
     s = kv if s is None else s + kv
     z = k if z is None else z + k
     qz = 1.0 / jnp.einsum("bc,bc->b", q, z + eps)  # [B]
     out = jnp.einsum("bc,bcd,b->bd", q, s, qz)
+    if svd:
+        s = svd_compress(s, svd_rank)
     return out.reshape(b, h, w, c).astype(x.dtype), s, z
 
 

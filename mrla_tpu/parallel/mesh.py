@@ -48,7 +48,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a pytree of arrays with the batch dim sharded over 'data'."""
+    """Shard a pytree of arrays with the batch dim split over 'data'.
+
+    Single-process: a plain device_put of the global array.  Multi-host:
+    each process passes its LOCAL shard (global_batch / process_count rows —
+    the reference's per-rank DataLoader split, resnet/train.py:172-173,266)
+    and the global jax.Array is assembled without any cross-host data
+    movement via make_array_from_process_local_data.
+    """
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+        )
     return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+        lambda x: jax.make_array_from_process_local_data(
+            batch_sharding(mesh, np.ndim(x)), np.asarray(x)
+        ),
+        batch,
     )

@@ -145,10 +145,12 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    from mrla_tpu.parallel.launch import init_distributed
+    from mrla_tpu.parallel.launch import init_distributed, is_main_process
 
     dist_info = init_distributed()
-    if dist_info["process_count"] > 1:
+    rank = dist_info["process_index"]
+    world = dist_info["process_count"]
+    if world > 1:
         print(f"distributed: {dist_info}")
 
     mesh = make_mesh(axes=("data", "model"))
@@ -156,6 +158,7 @@ def main(argv=None) -> dict:
     if args.batch_size % n_dev:
         raise ValueError(f"global batch {args.batch_size} not divisible by "
                          f"{n_dev} devices")
+    local_batch = args.batch_size // world
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model_kw = dict(num_classes=args.num_classes, dtype=dtype)
@@ -164,6 +167,15 @@ def main(argv=None) -> dict:
     if args.drop_rate:
         model_kw["drop_rate"] = args.drop_rate
     model = create_model(args.arch, **model_kw)
+
+    # timm create_transform (DeiT/ResMLP/PatchConvNet/EfficientNet recipes,
+    # deit/datasets.py:78-105) resamples bicubicly; the torchvision ResNet
+    # recipe (resnet/train.py:254-258) bilinearly.
+    interpolation = (
+        "bicubic"
+        if args.arch.startswith(("deit", "resmlp", "patchconvnet", "efficientnet"))
+        else "bilinear"
+    )
 
     synthetic = args.data == "synthetic"
     if synthetic:
@@ -261,7 +273,9 @@ def main(argv=None) -> dict:
     repl = NamedSharding(mesh, P())
     state = jax.device_put(state, repl)
 
-    aug_key = jax.random.key(args.seed + 1)
+    # Rank-offset aug stream (deit/main.py:191-193: seed = args.seed + rank)
+    # so processes draw different flips/mixup lambdas for their local shards.
+    aug_key = jax.random.fold_in(jax.random.key(args.seed + 1), rank)
 
     @jax.jit
     def device_augment(key, images_u8, labels):
@@ -281,37 +295,80 @@ def main(argv=None) -> dict:
         return x, labels
 
     def train_batches(epoch):
+        """Per-process LOCAL batches (the reference's per-rank DataLoader:
+        DistributedSampler resnet/train.py:266 / RASampler deit/main.py:204).
+        Each process loads + augments only its 1/world slice; shard_batch
+        assembles the global array."""
         if synthetic:
             for b in synthetic_batches(args.batch_size, args.image_size,
                                        args.num_classes, steps_per_epoch,
                                        seed=args.seed + epoch):
-                yield b, True  # already float images; skip u8 augment
+                # synthetic batches are generated identically on every
+                # process; take this rank's contiguous slice.
+                lo = rank * local_batch
+                yield {k: v[lo:lo + local_batch] for k, v in b.items()}, True
         else:
             if args.repeated_aug:
-                idxs = ra_sampler_indices(len(train_ds), 0, 1, epoch, seed=args.seed)
+                idxs = ra_sampler_indices(len(train_ds), rank, world, epoch,
+                                          seed=args.seed)
             else:
-                idxs = distributed_indices(len(train_ds), 0, 1, epoch,
+                idxs = distributed_indices(len(train_ds), rank, world, epoch,
                                            seed=args.seed)
-            for b in iterate_batches(train_ds, idxs, args.batch_size,
+            for b in iterate_batches(train_ds, idxs, local_batch,
                                      args.image_size, train=True,
-                                     seed=args.seed + epoch,
-                                     num_threads=args.workers):
+                                     seed=args.seed + epoch + 1_000_003 * rank,
+                                     num_threads=args.workers,
+                                     interpolation=interpolation):
                 yield b, False
 
+    def _pad_rows(img, labels, n_rows):
+        n = len(labels)
+        if n < n_rows:
+            pad = [(0, n_rows - n)]
+            img = np.pad(img, pad + [(0, 0)] * (img.ndim - 1))
+            labels = np.pad(labels, pad)
+        return img, labels
+
     def validate(epoch):
+        """Eval over the full val set.  Handles ragged final batches
+        (50000 % (devices*k) != 0 on real ImageNet val) by padding every
+        process's index list to the same length — so multi-host processes
+        stay in lockstep — padding the final batch to local_batch rows, and
+        masking the padding out of the eval_step sums via batch['valid']."""
         top1, top5, count = 0, 0, 0
         if synthetic:
-            batches = synthetic_batches(args.batch_size, args.image_size,
-                                        args.num_classes, 2, seed=123)
+            n_valid = 2 * local_batch
+
+            def gen():
+                for b in synthetic_batches(args.batch_size, args.image_size,
+                                           args.num_classes, 2, seed=123):
+                    lo = rank * local_batch
+                    yield {k: v[lo:lo + local_batch] for k, v in b.items()}
+            batches = gen()
         else:
-            batches = iterate_batches(val_ds, np.arange(len(val_ds)),
-                                      args.batch_size, args.image_size,
-                                      train=False, num_threads=args.workers)
+            local_idxs = np.arange(rank, len(val_ds), world)
+            n_valid = len(local_idxs)
+            n_local = -(-len(val_ds) // world)  # identical on every process
+            local_idxs = np.concatenate(
+                [local_idxs, np.zeros(n_local - n_valid, np.int64)]
+            )
+            batches = iterate_batches(val_ds, local_idxs, local_batch,
+                                      args.image_size, train=False,
+                                      num_threads=args.workers,
+                                      drop_last=False,
+                                      interpolation=interpolation)
+        offset = 0
         for b in batches:
             img = b["image"]
             if img.dtype == np.uint8:
                 img = np.asarray(normalize(jnp.asarray(img)))
-            batch = shard_batch({"image": img, "label": b["label"]}, mesh)
+            img, labels = _pad_rows(np.asarray(img), np.asarray(b["label"]),
+                                    local_batch)
+            valid = (offset + np.arange(local_batch)) < n_valid
+            offset += local_batch
+            batch = shard_batch(
+                {"image": img, "label": labels, "valid": valid}, mesh
+            )
             with mesh:
                 out = eval_step(state, batch)
             top1 += int(out["top1"]); top5 += int(out["top5"])
@@ -365,17 +422,23 @@ def main(argv=None) -> dict:
         acc1, acc5 = validate(epoch)
         is_best = acc1 > best_acc1
         best_acc1 = max(acc1, best_acc1)
-        save_checkpoint(args.output_dir, jax.device_get(state), epoch, best_acc1,
-                        is_best=is_best, keep_every=30)
-        # reference artifact formats
-        data_save(args.output_dir, "train_loss", epoch, losses.avg)
-        data_save(args.output_dir, "val_acc1", epoch, acc1)
-        data_save(args.output_dir, "val_acc5", epoch, acc5)
-        jsonl_log(os.path.join(args.output_dir, "log.txt"), {
-            "epoch": epoch, "train_loss": losses.avg, "test_acc1": acc1,
-            "test_acc5": acc5, "best_acc1": best_acc1,
-            "epoch_time_s": round(time.time() - t0, 1),
-        })
+        # Orbax saves are COLLECTIVE in multi-host runs (internal
+        # sync_global_devices barrier): every process must call save; orbax
+        # itself does the single-writer coordination the reference gets from
+        # save_on_master (deit/utils.py:211-213, resnet/train.py:331-353).
+        save_checkpoint(args.output_dir, jax.device_get(state), epoch,
+                        best_acc1, is_best=is_best, keep_every=30)
+        # Text artifacts are plain writes — rank-0-gate those.
+        if is_main_process():
+            # reference artifact formats
+            data_save(args.output_dir, "train_loss", epoch, losses.avg)
+            data_save(args.output_dir, "val_acc1", epoch, acc1)
+            data_save(args.output_dir, "val_acc5", epoch, acc5)
+            jsonl_log(os.path.join(args.output_dir, "log.txt"), {
+                "epoch": epoch, "train_loss": losses.avg, "test_acc1": acc1,
+                "test_acc5": acc5, "best_acc1": best_acc1,
+                "epoch_time_s": round(time.time() - t0, 1),
+            })
         history.append({"epoch": epoch, "loss": losses.avg, "acc1": acc1})
 
     return {"best_acc1": best_acc1, "history": history}

@@ -11,10 +11,17 @@ from flax.training import train_state
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState extended with BN running stats and optional EMA params."""
+    """flax TrainState extended with BN running stats and optional EMA.
+
+    EMA covers BOTH params and batch_stats: timm's ModelEma (used by the
+    reference, deit/main.py:297-304) deep-copies the whole module and decays
+    every state_dict entry, running BN stats included — so EMA eval must use
+    EMA batch_stats, not the raw ones.
+    """
 
     batch_stats: Any = None
     ema_params: Optional[Any] = None
+    ema_batch_stats: Optional[Any] = None
     ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
 
@@ -27,11 +34,13 @@ def create_train_state(
 ) -> TrainState:
     variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     return TrainState.create(
         apply_fn=model.apply,
         params=params,
         tx=tx,
-        batch_stats=variables.get("batch_stats", {}),
+        batch_stats=batch_stats,
         ema_params=params if ema_decay > 0 else None,
+        ema_batch_stats=batch_stats if (ema_decay > 0 and batch_stats) else None,
         ema_decay=ema_decay,
     )

@@ -95,10 +95,17 @@ def make_train_step(
         )
         if state.ema_params is not None:
             d = state.ema_decay
-            new_ema = jax.tree.map(
-                lambda e, p: d * e + (1.0 - d) * p, state.ema_params, new_state.params
+            ema = lambda e, p: d * e + (1.0 - d) * p
+            new_state = new_state.replace(
+                ema_params=jax.tree.map(ema, state.ema_params, new_state.params)
             )
-            new_state = new_state.replace(ema_params=new_ema)
+            if state.ema_batch_stats is not None:
+                # timm ModelEma decays buffers too (running mean/var).
+                new_state = new_state.replace(
+                    ema_batch_stats=jax.tree.map(
+                        ema, state.ema_batch_stats, new_state.batch_stats
+                    )
+                )
 
         metrics = {"loss": loss}
         if batch["label"].ndim == 1:
@@ -111,21 +118,43 @@ def make_train_step(
 
 
 def make_eval_step(use_ema: bool = False):
-    """Build a jittable eval step returning summed top-1/top-5 correct counts."""
+    """Build a jittable eval step returning summed top-1/top-5 correct counts.
+
+    batch may carry a boolean "valid" mask [B] so ragged final batches can be
+    padded to a device-count multiple and the padding excluded from the sums
+    (the reference's drop_last=False val loader, resnet/train.py:268-272).
+    """
 
     def eval_step(state: TrainState, batch):
-        params = state.ema_params if (use_ema and state.ema_params) else state.params
+        if use_ema:
+            # Fail loudly at trace time rather than silently evaluating raw
+            # params when a restored state carries no EMA (empty dict/None).
+            if not state.ema_params:
+                raise ValueError(
+                    "use_ema=True but state.ema_params is empty — restore a "
+                    "state trained with --ema-decay or evaluate without EMA"
+                )
+            params = state.ema_params
+            batch_stats = (
+                state.ema_batch_stats if state.ema_batch_stats else state.batch_stats
+            )
+        else:
+            params = state.params
+            batch_stats = state.batch_stats
         variables = {"params": params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
         logits = state.apply_fn(variables, batch["image"], train=False)
         k = min(5, logits.shape[-1])
         top5 = jax.lax.top_k(logits, k)[1]  # [B, k]
         labels = batch["label"][:, None]
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones((labels.shape[0],), bool)
         return {
-            "top1": jnp.sum((top5[:, :1] == labels).any(axis=-1)),
-            "top5": jnp.sum((top5 == labels).any(axis=-1)),
-            "count": jnp.asarray(labels.shape[0], jnp.int32),
+            "top1": jnp.sum((top5[:, :1] == labels).any(axis=-1) & valid),
+            "top5": jnp.sum((top5 == labels).any(axis=-1) & valid),
+            "count": jnp.sum(valid.astype(jnp.int32)),
         }
 
     return eval_step

@@ -84,6 +84,16 @@ def test_ra_sampler_semantics():
     assert counts.max() >= 2
 
 
+def test_ra_sampler_truncation_non_multiple_of_256():
+    """deit/samplers.py:35 truncates with len // 256 * 256 / replicas —
+    integer-floor to a 256 multiple BEFORE the rank split (the round-1
+    operator-precedence bug only showed when n % 256 != 0)."""
+    parts = [ra_sampler_indices(1000, r, 4, epoch=0) for r in range(4)]
+    assert all(len(p) == 768 // 4 for p in parts)  # 1000//256*256/4 = 192
+    parts = [ra_sampler_indices(1000, r, 1, epoch=0) for r in range(1)]
+    assert len(parts[0]) == 768
+
+
 def _make_fake_imagefolder(tmp_path, classes=2, per_class=3, size=(40, 50)):
     from PIL import Image
 

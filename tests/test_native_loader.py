@@ -77,3 +77,26 @@ def test_missing_file_zero_fills(jpeg_dir, tmp_path):
     with pytest.warns(UserWarning, match="2/3"):
         out = native.decode_batch(paths, 32, train=False)
     assert out[2].sum() == 0 and out[0].sum() > 0
+
+
+def test_corrupt_jpeg_does_not_abort(jpeg_dir, tmp_path):
+    """libjpeg's default error_exit calls exit(); the loader installs a
+    longjmp handler so corrupt/truncated files zero-fill instead of killing
+    the training process (ADVICE r1: loader.cc error handling)."""
+    good = sorted(glob.glob(os.path.join(jpeg_dir, "*", "*.jpg")))[0]
+    # SOI marker + garbage: passes fopen, dies inside the decoder
+    bad_header = tmp_path / "bad_header.jpg"
+    bad_header.write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+    # valid prefix, truncated body: dies mid-scanline
+    data = open(good, "rb").read()
+    truncated = tmp_path / "trunc.jpg"
+    truncated.write_bytes(data[: len(data) // 3])
+
+    with pytest.warns(UserWarning):
+        out = native.decode_batch(
+            [good, str(bad_header), str(truncated), good], 32, train=False,
+            num_threads=2,
+        )
+    assert out.shape == (4, 32, 32, 3)
+    assert out[0].sum() > 0 and out[3].sum() > 0
+    assert out[1].sum() == 0  # zero-filled, not a crash

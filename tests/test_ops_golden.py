@@ -26,6 +26,7 @@ from tests.torch_oracles import (
     mrla_base_oracle,
     la_eq4_oracle,
     linear_la_oracle,
+    linear_la_svd_oracle,
     se_oracle,
     eca_oracle,
 )
@@ -165,6 +166,54 @@ def test_linear_la_recurrence():
     )
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, _to_nhwc(w), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("rank", [None, 4])
+def test_linear_la_svd_recurrence(rank):
+    """svd=True carries the state factorized (+ optional rank-k truncation),
+    reference linear_la.py:86-105.  Compared against the torch restatement
+    on OUTPUTS (SVD factors have per-column sign ambiguity across libraries;
+    outputs are invariant)."""
+    rng = np.random.default_rng(15)
+    c, layers = 8, 3
+    xs = [_rand(rng, 2, 4, 4, c) for _ in range(layers)]
+    wqs = [_rand(rng, 3) for _ in range(layers)]
+    wks = [_rand(rng, 3) for _ in range(layers)]
+    wvs = [_rand(rng, 3, 3, 1, c) for _ in range(layers)]
+
+    s = z = None
+    got = []
+    for t in range(layers):
+        params = MRLAParams(
+            jnp.asarray(wqs[t]), jnp.asarray(wks[t]), jnp.asarray(wvs[t])
+        )
+        out, s, z = linear_la_step(
+            jnp.asarray(xs[t]), s, z, params, svd=True, svd_rank=rank
+        )
+        got.append(np.asarray(out))
+    assert len(s) == 3 and s[1].shape[-1] == (rank or c)
+
+    want = linear_la_svd_oracle(
+        [_nchw(x) for x in xs],
+        [torch.from_numpy(w) for w in wqs],
+        [torch.from_numpy(w) for w in wks],
+        [_dw_oihw(w) for w in wvs],
+        rank=rank,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, _to_nhwc(w), rtol=1e-3, atol=1e-4)
+
+    if rank is None:
+        # Reduced (untruncated) factorization must be lossless: identical
+        # trajectory to the plain recurrence.
+        plain = linear_la_oracle(
+            [_nchw(x) for x in xs],
+            [torch.from_numpy(w) for w in wqs],
+            [torch.from_numpy(w) for w in wks],
+            [_dw_oihw(w) for w in wvs],
+        )
+        for g, w in zip(got, plain):
+            np.testing.assert_allclose(g, _to_nhwc(w), rtol=1e-3, atol=1e-4)
 
 
 def test_se_gate():

@@ -67,6 +67,76 @@ def test_resmlp_parity_vs_reference():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
+def test_patchconvnet_parity_vs_reference():
+    """Executed-reference logit parity (same method as the ResMLP test):
+    a small random-init /root/reference/deit/patchconvnet_models.PatchConvnet
+    converted layer-by-layer into our PatchConvNet."""
+    from patchconvnet_models import PatchConvnet  # noqa: F401
+
+    from mrla_tpu.models.patchconvnet import PatchConvNet
+
+    depth, c, ncls = 2, 64, 10
+    torch.manual_seed(0)
+    from functools import partial
+
+    import torch.nn as tnn
+
+    tm = PatchConvnet(
+        img_size=64, patch_size=16, embed_dim=c, depth=depth, num_heads=1,
+        qkv_bias=True, mlp_ratio_clstk=3.0, init_scale=0.1, num_classes=ncls,
+        norm_layer=partial(tnn.LayerNorm, eps=1e-6),  # the S60/S120/B60/B120
+        # factories all pass eps=1e-6 (patchconvnet_models.py:337)
+    ).eval()
+    fm = PatchConvNet(embed_dim=c, depth=depth, num_classes=ncls, init_scale=0.1)
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    conv = lambda w: np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+    lin = lambda p: {"kernel": sd[p + ".weight"].T, "bias": sd[p + ".bias"]}
+    ln = lambda p: {"scale": sd[p + ".weight"], "bias": sd[p + ".bias"]}
+
+    params = {
+        "patch_embed": {
+            f"conv{i}": {"kernel": conv(sd[f"patch_embed.proj.{2*i}.0.weight"])}
+            for i in range(4)
+        },
+        "cls_token": sd["cls_token"],
+        "cls_gamma_1": sd["blocks_token_only.0.gamma_1"],
+        "cls_gamma_2": sd["blocks_token_only.0.gamma_2"],
+        "cls_norm1": ln("blocks_token_only.0.norm1"),
+        "cls_norm2": ln("blocks_token_only.0.norm2"),
+        "cls_attn": {k: lin(f"blocks_token_only.0.attn.{k}")
+                     for k in ("q", "k", "v", "proj")},
+        "cls_mlp": {"fc1": lin("blocks_token_only.0.mlp.fc1"),
+                    "fc2": lin("blocks_token_only.0.mlp.fc2")},
+        "norm": ln("norm"),
+        "head": lin("head"),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        params[f"norm{i}"] = ln(p + "norm1")
+        params[f"gamma_{i}"] = sd[p + "gamma_1"]
+        params[f"block{i}"] = {
+            "pw1": {"kernel": conv(sd[p + "attn.qkv_pos.0.weight"]),
+                    "bias": sd[p + "attn.qkv_pos.0.bias"]},
+            "dw": {"kernel": conv(sd[p + "attn.qkv_pos.2.weight"]),
+                   "bias": sd[p + "attn.qkv_pos.2.bias"]},
+            "se_fc1": {"kernel": sd[p + "attn.qkv_pos.4.conv_reduce.weight"][:, :, 0, 0].T,
+                       "bias": sd[p + "attn.qkv_pos.4.conv_reduce.bias"]},
+            "se_fc2": {"kernel": sd[p + "attn.qkv_pos.4.conv_expand.weight"][:, :, 0, 0].T,
+                       "bias": sd[p + "attn.qkv_pos.4.conv_expand.bias"]},
+            "pw2": {"kernel": conv(sd[p + "attn.qkv_pos.5.weight"]),
+                    "bias": sd[p + "attn.qkv_pos.5.bias"]},
+        }
+    variables = {"params": jax.tree.map(jnp.asarray, params)}
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
 def test_patchconvnet_runs():
     m = create_model("patchconvnet_s60", num_classes=10)
     # shrink depth via direct instantiation for CPU speed

@@ -69,6 +69,24 @@ def install() -> None:
         def forward(self, x):
             return self.norm(self.proj(x).flatten(2).transpose(1, 2))
 
+    class SqueezeExcite(nn.Module):
+        """timm efficientnet_blocks.SqueezeExcite: GAP -> 1x1 reduce ->
+        ReLU -> 1x1 expand -> sigmoid gate."""
+
+        def __init__(self, in_chs, rd_ratio=0.25, rd_channels=None,
+                     act_layer=nn.ReLU, gate_layer=nn.Sigmoid, **_):
+            super().__init__()
+            rd_channels = rd_channels or int(round(in_chs * rd_ratio))
+            self.conv_reduce = nn.Conv2d(in_chs, rd_channels, 1, bias=True)
+            self.act1 = act_layer(inplace=True)
+            self.conv_expand = nn.Conv2d(rd_channels, in_chs, 1, bias=True)
+            self.gate = gate_layer()
+
+        def forward(self, x):
+            x_se = x.mean((2, 3), keepdim=True)
+            x_se = self.conv_expand(self.act1(self.conv_reduce(x_se)))
+            return x * self.gate(x_se)
+
     timm = types.ModuleType("timm")
     models = types.ModuleType("timm.models")
     vit = types.ModuleType("timm.models.vision_transformer")
@@ -81,9 +99,12 @@ def install() -> None:
     layers = types.ModuleType("timm.models.layers")
     layers.trunc_normal_ = trunc_normal_
     layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
     helpers = types.ModuleType("timm.models.layers.helpers")
     helpers.to_2tuple = to_2tuple
     layers.helpers = helpers
+    effblocks = types.ModuleType("timm.models.efficientnet_blocks")
+    effblocks.SqueezeExcite = SqueezeExcite
 
     timm.models = models
     models.vision_transformer = vit
@@ -97,5 +118,6 @@ def install() -> None:
         ("timm.models.registry", registry),
         ("timm.models.layers", layers),
         ("timm.models.layers.helpers", helpers),
+        ("timm.models.efficientnet_blocks", effblocks),
     ]:
         sys.modules[name] = mod

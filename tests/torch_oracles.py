@@ -113,6 +113,37 @@ def linear_la_oracle(xs, wq, wk, wv, eps=1e-6):
     return outs
 
 
+def linear_la_svd_oracle(xs, wq, wk, wv, eps=1e-6, rank=None):
+    """linear_la_oracle with the state carried FACTORIZED between steps,
+    restating the reference's svd=True branch (linear_la.py:86-105):
+    reconstruct u·diag(σ)·vᵀ on entry, reduced SVD on exit — batched here
+    (the reference's torch.mm form is single-image), with optional rank-k
+    truncation."""
+    phi = lambda v: F.elu(v) + 1.0
+    outs, fac, z = [], None, None
+    for t, x in enumerate(xs):
+        b, c, h, w = x.shape
+        y = gap_nchw(x)
+        q = phi(channel_conv1d_torch(y, wq[t]))  # [B, C]
+        k = phi(channel_conv1d_torch(y, wk[t]))
+        v = F.conv2d(x, wv[t], padding=1, groups=c).reshape(b, c * h * w)
+        kv = torch.einsum("bc,bd->bcd", k, v)
+        if fac is None:
+            s = kv
+        else:
+            u, sig, vv = fac
+            s = torch.einsum("bck,bk,bdk->bcd", u, sig, vv) + kv
+        z = k if z is None else z + k
+        qz = 1.0 / torch.einsum("bc,bc->b", q, z + eps)
+        out = torch.einsum("bc,bcd,b->bd", q, s, qz).reshape(b, c, h, w)
+        outs.append(out)
+        u, sig, vv = torch.svd(s, some=True)
+        if rank is not None:
+            u, sig, vv = u[..., :rank], sig[..., :rank], vv[..., :rank]
+        fac = (u, sig, vv)
+    return outs
+
+
 def se_oracle(x: torch.Tensor, w1: torch.Tensor, w2: torch.Tensor) -> torch.Tensor:
     """SE gate; w1 [C//r, C], w2 [C, C//r] (torch Linear convention)."""
     y = gap_nchw(x)
