@@ -1,0 +1,256 @@
+"""Mega-fused MRLA block tail + next-block conv1, HWBC layout-native.
+
+Round-1 post-mortem (ROADMAP.md): every epilogue kernel won isolated and
+lost in-model, for two structural reasons
+  1. the kernels consumed (z, identity) and recomputed relu(z+id) — but the
+     gate's GAP had ALREADY read z+id in XLA, so the activations crossed
+     HBM twice more than the jnp path;
+  2. the jnp epilogue's elementwise tail fuses into the NEXT block's conv1
+     operand load (producer-consumer fusion a custom call cannot join).
+
+This kernel removes both:
+  * it consumes `out = relu(z + id)` — materialized once by XLA's
+    conv3+add+relu fusion, whose multi-output also feeds the GAP reduce, so
+    there is no duplicate traffic;
+  * it computes the next block's 1x1 conv INSIDE the kernel: in the HWBC
+    view a 1x1 conv is a pure [H·B, C] @ [C, C1] matmul per column (MXU),
+    so the fusion the custom call used to break is now internal.
+
+Math (reference resnet_mrla_light.py:113-116, BN folded):
+    y  = out + (dwconv3x3(out)·gate + λ·id)·bn_scale + bn_bias
+    x1 = relu(y @ W1 + b1)                      # next block's conv1
+Returns (y, x1).
+
+Layout: operands are consumed as jnp.transpose(·, (1,2,0,3)) views, which
+fold into bitcasts against XLA's native bf16{3,0,2,1} activation layout
+(verified round 1).  W slides with a 4-deep VMEM column ring (manual DMA,
+compile-time-constant batch/channel slice starts — the Mosaic recipe that
+avoids the 300-400 s compile pathology); each (h, w) position is a [B, C]
+tile so all 9 dwconv taps are tile-granular address shifts.  Ring depth 4
+(not 3): compute at column w reads raw columns w-1, w, w+1 while w+2
+prefetches — with a 3-ring the prefetch slot would alias the w-1 slot.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RING = 4
+
+
+def _kernel(
+    o_ref,  # ANY [H, W, B, C]  out = relu(z + id), HWBC view
+    i_ref,  # ANY [H, W, B, C]  identity
+    gate_ref,  # VMEM [1, B, C] fp32
+    wv_ref,  # VMEM [9, C] fp32
+    lam_ref,  # VMEM [1, C] fp32
+    sc_ref,  # VMEM [1, C] fp32
+    bi_ref,  # VMEM [1, C] fp32
+    w1_ref,  # VMEM [C, C1]  next conv1 kernel (activation dtype)
+    b1_ref,  # VMEM [1, C1] fp32
+    y_ref,  # ANY [H, W, B, C]
+    x1_ref,  # ANY [H, W, B, C1]
+    obuf,  # VMEM scratch [RING, H, 1, BT, C]  (ring of out columns)
+    ibuf,  # VMEM scratch [RING, H, 1, BT, C]  (ring of id columns)
+    ybuf,  # VMEM scratch [1, H, 1, BT, C]   y staging
+    x1buf,  # VMEM scratch [1, H, 1, BT, C1]
+    in_sems,  # DMA sems (2, RING)
+    out_sems,  # DMA sems (2,)
+):
+    h, w = o_ref.shape[0], o_ref.shape[1]
+    b_full = o_ref.shape[2]
+    bt = obuf.shape[3]
+    c = obuf.shape[4]
+    c1 = x1buf.shape[4]
+    n_bt = b_full // bt
+
+    for bh in range(n_bt):  # static python loop: constant batch slice starts
+        def dma_in(slot, col, bh=bh):
+            return (
+                pltpu.make_async_copy(
+                    o_ref.at[:, pl.ds(col, 1), pl.ds(bh * bt, bt), :],
+                    obuf.at[slot],
+                    in_sems.at[0, slot],
+                ),
+                pltpu.make_async_copy(
+                    i_ref.at[:, pl.ds(col, 1), pl.ds(bh * bt, bt), :],
+                    ibuf.at[slot],
+                    in_sems.at[1, slot],
+                ),
+            )
+
+        for c0 in (0, 1):
+            for d in dma_in(c0 % RING, c0):
+                d.start()
+
+        gate = gate_ref[0, bh * bt:(bh + 1) * bt, :]  # [BT, C] fp32
+        lam = lam_ref[0].reshape(1, c)
+        sc = sc_ref[0].reshape(1, c)
+        bi = bi_ref[0].reshape(1, c)
+        taps = wv_ref[...]  # [9, C] fp32
+        w1 = w1_ref[...]  # [C, C1]
+        b1 = b1_ref[0].reshape(1, c1)
+
+        def compute_col(col, left, mid, right, bh=bh, gate=gate,
+                        lam=lam, sc=sc, bi=bi, taps=taps, w1=w1, b1=b1):
+            om = obuf[mid][:, 0].astype(jnp.float32)  # [H, BT, C]
+            zero_row = jnp.zeros((1, bt, c), jnp.float32)
+
+            def shifted(body, dh):
+                if dh == -1:
+                    return jnp.concatenate([zero_row, body[:-1]], axis=0)
+                if dh == 1:
+                    return jnp.concatenate([body[1:], zero_row], axis=0)
+                return body
+
+            acc = jnp.zeros((h, bt, c), jnp.float32)
+            for dwi, ring in ((0, left), (1, mid), (2, right)):
+                body = obuf[ring][:, 0].astype(jnp.float32)
+                if dwi == 0:
+                    valid = col > 0
+                elif dwi == 2:
+                    valid = col < w - 1
+                else:
+                    valid = None
+                for dh in (-1, 0, 1):
+                    tap = taps[(dh + 1) * 3 + dwi].reshape(1, 1, c)
+                    term = shifted(body, dh) * tap
+                    acc = acc + (term if valid is None
+                                 else jnp.where(valid, term, 0.0))
+
+            idv = ibuf[mid][:, 0].astype(jnp.float32)
+            y = om + (acc * gate[None] + lam[None] * idv) * sc[None] + bi[None]
+            yb = y.astype(ybuf.dtype)  # [H, BT, C]
+            ybuf[0] = yb[:, None]
+            # next block's conv1: per-column [H·BT, C] @ [C, C1] on the MXU
+            x1 = jax.lax.dot_general(
+                yb.reshape(h * bt, c), w1,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            x1 = jnp.maximum(x1 + b1, 0.0)
+            x1buf[0] = x1.reshape(h, 1, bt, c1).astype(x1buf.dtype)
+
+            y_dma = pltpu.make_async_copy(
+                ybuf.at[0],
+                y_ref.at[:, pl.ds(col, 1), pl.ds(bh * bt, bt), :],
+                out_sems.at[0],
+            )
+            x1_dma = pltpu.make_async_copy(
+                x1buf.at[0],
+                x1_ref.at[:, pl.ds(col, 1), pl.ds(bh * bt, bt), :],
+                out_sems.at[1],
+            )
+            y_dma.start()
+            x1_dma.start()
+            y_dma.wait()
+            x1_dma.wait()
+
+        for d in dma_in(0, 0):
+            d.wait()
+
+        def loop(col, _):
+            @pl.when(col + 2 < w)
+            def _():
+                for d in dma_in((col + 2) % RING, col + 2):
+                    d.start()
+
+            @pl.when(col + 1 < w)
+            def _():
+                for d in dma_in((col + 1) % RING, col + 1):
+                    d.wait()
+
+            compute_col(col, (col - 1) % RING, col % RING, (col + 1) % RING)
+            return 0
+
+        jax.lax.fori_loop(0, w, loop, 0)
+
+
+def mrla_block_tail_fused_next(
+    out: jax.Array,  # [B, H, W, C] logical — relu(z + identity)
+    identity: jax.Array,  # [B, H, W, C]
+    gate: jax.Array,  # [B, C] fp32 (mrla_light_gate)
+    wv: jax.Array,
+    lam: jax.Array,
+    bn_scale: jax.Array,
+    bn_bias: jax.Array,
+    w1_next: jax.Array,  # [1, 1, C, C1] or [C, C1] — next block's conv1
+    b1_next: jax.Array,  # [C1]
+    batch_tile: int = 64,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (y [B,H,W,C], x1 [B,H,W,C1]) — the MRLA block output and the
+    next block's post-conv1 activation, in one HBM pass."""
+    bsz, h, w, c = out.shape
+    w1 = w1_next.reshape(c, -1)
+    c1 = w1.shape[1]
+    # Mosaic DMA slices must be lane-tile (128) aligned: pad the x1 channel
+    # dim up to 128 (stage-1's next conv1 is 64-wide) and slice it back off
+    # outside the kernel.
+    c1p = max(c1, 128)
+    if c1p != c1:
+        w1 = jnp.pad(w1, ((0, 0), (0, c1p - c1)))
+        b1_next = jnp.pad(b1_next.reshape(-1), (0, c1p - c1))
+    bt = min(batch_tile, bsz)
+    assert bsz % bt == 0 and w >= 2
+
+    ot = jnp.transpose(out, (1, 2, 0, 3))
+    it = jnp.transpose(identity, (1, 2, 0, 3))
+
+    full = lambda ch: pl.BlockSpec(
+        (h, w, bsz, ch), lambda i: (0, 0, 0, 0), memory_space=pltpu.ANY
+    )
+    vmem = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(1,),
+        in_specs=[
+            full(c),
+            full(c),
+            vmem((1, bsz, c)),
+            vmem((9, c)),
+            vmem((1, c)),
+            vmem((1, c)),
+            vmem((1, c)),
+            vmem((c, c1p)),
+            vmem((1, c1p)),
+        ],
+        out_specs=[full(c), full(c1p)],
+        scratch_shapes=[
+            pltpu.VMEM((RING, h, 1, bt, c), out.dtype),
+            pltpu.VMEM((RING, h, 1, bt, c), out.dtype),
+            pltpu.VMEM((1, h, 1, bt, c), out.dtype),
+            pltpu.VMEM((1, h, 1, bt, c1p), out.dtype),
+            pltpu.SemaphoreType.DMA((2, RING)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    yt, x1t = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w, bsz, c), out.dtype),
+            jax.ShapeDtypeStruct((h, w, bsz, c1p), out.dtype),
+        ],
+    )(
+        ot,
+        it,
+        gate.reshape(1, bsz, c).astype(jnp.float32),
+        wv.reshape(9, c).astype(jnp.float32),
+        lam.reshape(1, c).astype(jnp.float32),
+        bn_scale.reshape(1, c).astype(jnp.float32),
+        bn_bias.reshape(1, c).astype(jnp.float32),
+        w1.astype(out.dtype),
+        b1_next.reshape(1, c1p).astype(jnp.float32),
+    )
+    x1 = jnp.transpose(x1t, (2, 0, 1, 3))
+    if c1p != c1:
+        x1 = x1[..., :c1]
+    return jnp.transpose(yt, (2, 0, 1, 3)), x1

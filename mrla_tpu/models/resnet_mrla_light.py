@@ -106,6 +106,7 @@ class ResNetMRLALight(nn.Module):
     dim_perhead: int = 32
     features_only: bool = False  # MMDetection backbone contract
     use_drop_path: bool = True
+    remat: bool = False  # rematerialize each block in backward (training)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -115,13 +116,18 @@ class ResNetMRLALight(nn.Module):
         x = Stem7x7(dtype=self.dtype, name="stem")(x, train)
         x = max_pool_same_torch(x, 3, 2)
 
+        block_cls = (
+            nn.remat(MRLABottleneck, static_argnums=(2,))
+            if self.remat
+            else MRLABottleneck
+        )
         outs = []
         planes = 64
         for stage_idx, blocks in enumerate(self.layers):
             stride = 1 if stage_idx == 0 else 2
             for block_idx in range(blocks):
                 first = block_idx == 0
-                x = MRLABottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if first else 1,
                     use_downsample=first,

@@ -5,9 +5,18 @@ these functional forwards — BNs folded into conv weights at load time, the
 MRLA epilogue fused into one Pallas kernel where the shape supports it.
 """
 
+from mrla_tpu.serving.resnet_mrlab import (
+    prepare_mrlab_inference_params,
+    resnet_mrlab_forward,
+)
 from mrla_tpu.serving.resnet_mrlal import (
     prepare_inference_params,
     resnet_mrlal_forward,
 )
 
-__all__ = ["prepare_inference_params", "resnet_mrlal_forward"]
+__all__ = [
+    "prepare_inference_params",
+    "prepare_mrlab_inference_params",
+    "resnet_mrlab_forward",
+    "resnet_mrlal_forward",
+]

@@ -127,9 +127,13 @@ def prepare_inference_params(
 
 
 def _conv(x, k, b, stride=1, groups=1):
+    # torch-style symmetric padding (k//2 each side).  NOT XLA "SAME": at
+    # stride 2 SAME pads (0, 1) while torch pads (1, 1) — a one-pixel window
+    # shift that breaks logit parity on every stride-2 conv.
+    p = k.shape[0] // 2
     y = jax.lax.conv_general_dilated(
         x, k, (stride, stride),
-        "SAME" if k.shape[0] > 1 else "VALID",
+        ((p, p), (p, p)) if p else "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )

@@ -85,7 +85,9 @@ def test_two_process_training(tmp_path):
 
     results = {}
     for rank, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
+        # generous: two interpreters compile the full model concurrently and
+        # often share the machine with other test/TPU jobs
+        out, _ = p.communicate(timeout=2400)
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
         line = [l for l in out.splitlines() if l.startswith("WORKER_RESULT ")]
         assert line, f"rank {rank} printed no result:\n{out[-4000:]}"

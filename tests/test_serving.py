@@ -8,8 +8,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from mrla_tpu.models.resnet_mrla_light import ResNetMRLALight
-from mrla_tpu.serving import prepare_inference_params, resnet_mrlal_forward
+from mrla_tpu.serving import (
+    prepare_inference_params,
+    prepare_mrlab_inference_params,
+    resnet_mrlab_forward,
+    resnet_mrlal_forward,
+)
 
 
 def test_serving_matches_flax():
@@ -35,7 +42,7 @@ def test_serving_matches_flax():
     got = np.asarray(
         resnet_mrlal_forward(sp, x, layers=layers, use_pallas=False)
     )
-    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=3e-4)
 
 
 def test_serving_bf16_agrees_on_predictions():
@@ -52,3 +59,56 @@ def test_serving_bf16_agrees_on_predictions():
     sp = prepare_inference_params(variables, layers=layers, dtype=jnp.bfloat16)
     got = np.asarray(resnet_mrlal_forward(sp, x, layers=layers, use_pallas=False))
     assert (got.argmax(-1) == want.argmax(-1)).all()
+
+
+@pytest.mark.parametrize("use_scan", [False, True])
+def test_mrlab_serving_matches_flax(use_scan):
+    """MRLA-base engine (eq.6 cache path): BN-folded forward == model.apply,
+    in both the unrolled growing-cache and the scanned masked-cache forms."""
+    from mrla_tpu.models.resnet_mrla_base import ResNetMRLABase
+
+    layers = (2, 2, 2, 2)
+    model = ResNetMRLABase(layers=list(layers), num_classes=10)
+    variables = jax.device_get(
+        model.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)), train=False)
+    )
+    rng = np.random.default_rng(3)
+    stats = jax.tree.map(
+        lambda v: v + rng.uniform(0.1, 0.5, v.shape).astype(v.dtype),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    want = np.asarray(
+        model.apply(jax.tree.map(jnp.asarray, variables), x, train=False)
+    )
+    sp = prepare_mrlab_inference_params(variables, layers=layers,
+                                        dtype=jnp.float32)
+    got = np.asarray(
+        resnet_mrlab_forward(sp, x, layers=layers, use_scan=use_scan)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=3e-4)
+
+
+def test_mrlab22_serving_matches_flax():
+    """base22 variant: 7x7 stem, no ReLU on attn."""
+    from mrla_tpu.models.resnet_mrla_base import ResNetMRLABase
+
+    layers = (1, 2, 1, 1)
+    model = ResNetMRLABase(layers=list(layers), num_classes=10,
+                           deep_stem=False, relu_on_attn=False)
+    variables = jax.device_get(
+        model.init(jax.random.key(4), jnp.zeros((1, 64, 64, 3)), train=False)
+    )
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    want = np.asarray(
+        model.apply(jax.tree.map(jnp.asarray, variables), x, train=False)
+    )
+    sp = prepare_mrlab_inference_params(variables, layers=layers,
+                                        dtype=jnp.float32, deep_stem=False)
+    got = np.asarray(
+        resnet_mrlab_forward(sp, x, layers=layers, relu_on_attn=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=3e-4)
