@@ -13,22 +13,25 @@ This kernel removes both:
     conv3+add+relu fusion, whose multi-output also feeds the GAP reduce, so
     there is no duplicate traffic;
   * it computes the next block's 1x1 conv INSIDE the kernel: in the HWBC
-    view a 1x1 conv is a pure [H·B, C] @ [C, C1] matmul per column (MXU),
-    so the fusion the custom call used to break is now internal.
+    view a 1x1 conv is a pure [H·W·B, C] @ [C, C1] matmul (MXU), so the
+    fusion the custom call used to break is now internal.
 
 Math (reference resnet_mrla_light.py:113-116, BN folded):
     y  = out + (dwconv3x3(out)·gate + λ·id)·bn_scale + bn_bias
     x1 = relu(y @ W1 + b1)                      # next block's conv1
 Returns (y, x1).
 
-Layout: operands are consumed as jnp.transpose(·, (1,2,0,3)) views, which
-fold into bitcasts against XLA's native bf16{3,0,2,1} activation layout
-(verified round 1).  W slides with a 4-deep VMEM column ring (manual DMA,
-compile-time-constant batch/channel slice starts — the Mosaic recipe that
-avoids the 300-400 s compile pathology); each (h, w) position is a [B, C]
-tile so all 9 dwconv taps are tile-granular address shifts.  Ring depth 4
-(not 3): compute at column w reads raw columns w-1, w, w+1 while w+2
-prefetches — with a 3-ring the prefetch slot would alias the w-1 slot.
+Layout + pipeline: operands are consumed as jnp.transpose(·, (1,2,0,3))
+views, which fold into bitcasts against XLA's native bf16{3,0,2,1}
+activation layout (verified round 1).  W slides in CHUNKS of CW columns —
+a round-2 lesson: per-single-column pipelines are latency-bound (~30 µs of
+sync overhead per iteration dwarfs the 5 µs of data movement), so the
+kernel moves [H, CW, BT, C] chunks with a 4-deep input ring (manual DMA,
+compile-time-constant slice starts — the Mosaic recipe that avoids the
+300-400 s compile pathology) and double-buffered output staging.  dwconv
+halo columns come from the neighboring ring slots; depth 4 because compute
+at chunk c reads c-1's last column while c+2 prefetches — a 3-ring would
+alias them.
 """
 
 from __future__ import annotations
@@ -39,6 +42,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RING = 4
+
+
+def _pick_cw(w: int) -> int:
+    for cand in (8, 7, 4, 2, 1):
+        if w % cand == 0:
+            return cand
+    return 1
 
 
 def _kernel(
@@ -53,120 +63,145 @@ def _kernel(
     b1_ref,  # VMEM [1, C1] fp32
     y_ref,  # ANY [H, W, B, C]
     x1_ref,  # ANY [H, W, B, C1]
-    obuf,  # VMEM scratch [RING, H, 1, BT, C]  (ring of out columns)
-    ibuf,  # VMEM scratch [RING, H, 1, BT, C]  (ring of id columns)
-    ybuf,  # VMEM scratch [1, H, 1, BT, C]   y staging
-    x1buf,  # VMEM scratch [1, H, 1, BT, C1]
+    obuf,  # VMEM scratch [RING, H, CW, BT, C]  (ring of out chunks)
+    ibuf,  # VMEM scratch [RING, H, CW, BT, C]  (ring of id chunks)
+    ybuf,  # VMEM scratch [2, H, CW, BT, C]   y staging (double buffer)
+    x1buf,  # VMEM scratch [2, H, CW, BT, C1]
     in_sems,  # DMA sems (2, RING)
-    out_sems,  # DMA sems (2,)
+    out_sems,  # DMA sems (2, 2)
 ):
     h, w = o_ref.shape[0], o_ref.shape[1]
     b_full = o_ref.shape[2]
+    cw = obuf.shape[2]
     bt = obuf.shape[3]
     c = obuf.shape[4]
     c1 = x1buf.shape[4]
     n_bt = b_full // bt
+    n_ch = w // cw
 
     for bh in range(n_bt):  # static python loop: constant batch slice starts
-        def dma_in(slot, col, bh=bh):
+        def dma_in(slot, chunk, bh=bh):
             return (
                 pltpu.make_async_copy(
-                    o_ref.at[:, pl.ds(col, 1), pl.ds(bh * bt, bt), :],
+                    o_ref.at[:, pl.ds(chunk * cw, cw), pl.ds(bh * bt, bt), :],
                     obuf.at[slot],
                     in_sems.at[0, slot],
                 ),
                 pltpu.make_async_copy(
-                    i_ref.at[:, pl.ds(col, 1), pl.ds(bh * bt, bt), :],
+                    i_ref.at[:, pl.ds(chunk * cw, cw), pl.ds(bh * bt, bt), :],
                     ibuf.at[slot],
                     in_sems.at[1, slot],
                 ),
             )
 
-        for c0 in (0, 1):
-            for d in dma_in(c0 % RING, c0):
+        for c0 in range(min(2, n_ch)):
+            for d in dma_in(c0, c0):
                 d.start()
 
         gate = gate_ref[0, bh * bt:(bh + 1) * bt, :]  # [BT, C] fp32
-        lam = lam_ref[0].reshape(1, c)
-        sc = sc_ref[0].reshape(1, c)
-        bi = bi_ref[0].reshape(1, c)
+        lam = lam_ref[0].reshape(1, 1, c)
+        sc = sc_ref[0].reshape(1, 1, c)
+        bi = bi_ref[0].reshape(1, 1, c)
         taps = wv_ref[...]  # [9, C] fp32
         w1 = w1_ref[...]  # [C, C1]
         b1 = b1_ref[0].reshape(1, c1)
 
-        def compute_col(col, left, mid, right, bh=bh, gate=gate,
-                        lam=lam, sc=sc, bi=bi, taps=taps, w1=w1, b1=b1):
-            om = obuf[mid][:, 0].astype(jnp.float32)  # [H, BT, C]
-            zero_row = jnp.zeros((1, bt, c), jnp.float32)
+        def compute_chunk(chunk, left, mid, right, slot, bh=bh, gate=gate,
+                          lam=lam, sc=sc, bi=bi, taps=taps, w1=w1, b1=b1):
+            om = obuf[mid].astype(jnp.float32)  # [H, CW, BT, C]
+            # halo columns from the neighboring ring slots (zero at edges)
+            lcol = jnp.where(
+                chunk > 0, obuf[left][:, cw - 1:cw].astype(jnp.float32), 0.0
+            )
+            rcol = jnp.where(
+                chunk < n_ch - 1, obuf[right][:, 0:1].astype(jnp.float32), 0.0
+            )
+            ext = jnp.concatenate([lcol, om, rcol], axis=1)  # [H, CW+2, BT, C]
 
-            def shifted(body, dh):
+            zero_row = jnp.zeros((1, cw + 2, bt, c), jnp.float32)
+
+            def hshift(dh):
                 if dh == -1:
-                    return jnp.concatenate([zero_row, body[:-1]], axis=0)
+                    return jnp.concatenate([zero_row, ext[:-1]], axis=0)
                 if dh == 1:
-                    return jnp.concatenate([body[1:], zero_row], axis=0)
-                return body
+                    return jnp.concatenate([ext[1:], zero_row], axis=0)
+                return ext
 
-            acc = jnp.zeros((h, bt, c), jnp.float32)
-            for dwi, ring in ((0, left), (1, mid), (2, right)):
-                body = obuf[ring][:, 0].astype(jnp.float32)
-                if dwi == 0:
-                    valid = col > 0
-                elif dwi == 2:
-                    valid = col < w - 1
-                else:
-                    valid = None
-                for dh in (-1, 0, 1):
-                    tap = taps[(dh + 1) * 3 + dwi].reshape(1, 1, c)
-                    term = shifted(body, dh) * tap
-                    acc = acc + (term if valid is None
-                                 else jnp.where(valid, term, 0.0))
+            acc = jnp.zeros((h, cw, bt, c), jnp.float32)
+            for dh in (-1, 0, 1):
+                shifted = hshift(dh)
+                for dwi in (0, 1, 2):
+                    tap = taps[(dh + 1) * 3 + dwi].reshape(1, 1, 1, c)
+                    acc = acc + shifted[:, dwi:dwi + cw] * tap
 
-            idv = ibuf[mid][:, 0].astype(jnp.float32)
-            y = om + (acc * gate[None] + lam[None] * idv) * sc[None] + bi[None]
-            yb = y.astype(ybuf.dtype)  # [H, BT, C]
-            ybuf[0] = yb[:, None]
-            # next block's conv1: per-column [H·BT, C] @ [C, C1] on the MXU
+            idv = ibuf[mid].astype(jnp.float32)
+            y = om + (acc * gate[None, None] + lam[None] * idv) * sc[None] \
+                + bi[None]
+            yb = y.astype(ybuf.dtype)  # [H, CW, BT, C]
+            ybuf[slot] = yb
+            # next block's conv1: [H·CW·BT, C] @ [C, C1] on the MXU
             x1 = jax.lax.dot_general(
-                yb.reshape(h * bt, c), w1,
+                yb.reshape(h * cw * bt, c), w1,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             x1 = jnp.maximum(x1 + b1, 0.0)
-            x1buf[0] = x1.reshape(h, 1, bt, c1).astype(x1buf.dtype)
+            x1buf[slot] = x1.reshape(h, cw, bt, c1).astype(x1buf.dtype)
 
-            y_dma = pltpu.make_async_copy(
-                ybuf.at[0],
-                y_ref.at[:, pl.ds(col, 1), pl.ds(bh * bt, bt), :],
-                out_sems.at[0],
-            )
-            x1_dma = pltpu.make_async_copy(
-                x1buf.at[0],
-                x1_ref.at[:, pl.ds(col, 1), pl.ds(bh * bt, bt), :],
-                out_sems.at[1],
-            )
-            y_dma.start()
-            x1_dma.start()
-            y_dma.wait()
-            x1_dma.wait()
+            pltpu.make_async_copy(
+                ybuf.at[slot],
+                y_ref.at[:, pl.ds(chunk * cw, cw), pl.ds(bh * bt, bt), :],
+                out_sems.at[0, slot],
+            ).start()
+            pltpu.make_async_copy(
+                x1buf.at[slot],
+                x1_ref.at[:, pl.ds(chunk * cw, cw), pl.ds(bh * bt, bt), :],
+                out_sems.at[1, slot],
+            ).start()
 
         for d in dma_in(0, 0):
             d.wait()
 
-        def loop(col, _):
-            @pl.when(col + 2 < w)
+        def loop(chunk, _):
+            @pl.when(chunk + 2 < n_ch)
             def _():
-                for d in dma_in((col + 2) % RING, col + 2):
+                for d in dma_in((chunk + 2) % RING, chunk + 2):
                     d.start()
 
-            @pl.when(col + 1 < w)
+            @pl.when(chunk + 1 < n_ch)
             def _():
-                for d in dma_in((col + 1) % RING, col + 1):
+                for d in dma_in((chunk + 1) % RING, chunk + 1):
                     d.wait()
 
-            compute_col(col, (col - 1) % RING, col % RING, (col + 1) % RING)
+            # drain this staging slot's previous output DMAs before reuse
+            @pl.when(chunk >= 2)
+            def _():
+                slot = chunk % 2
+                pltpu.make_async_copy(
+                    ybuf.at[slot], ybuf.at[slot], out_sems.at[0, slot]
+                ).wait()
+                pltpu.make_async_copy(
+                    x1buf.at[slot], x1buf.at[slot], out_sems.at[1, slot]
+                ).wait()
+
+            compute_chunk(chunk, (chunk - 1) % RING, chunk % RING,
+                          (chunk + 1) % RING, chunk % 2)
             return 0
 
-        jax.lax.fori_loop(0, w, loop, 0)
+        jax.lax.fori_loop(0, n_ch, loop, 0)
+
+        # drain the in-flight output DMAs (slots used by the last chunks)
+        if n_ch == 1:
+            last_slots = (0,)
+        else:
+            last_slots = ((n_ch - 2) % 2, (n_ch - 1) % 2)
+        for slot in last_slots:
+            pltpu.make_async_copy(
+                ybuf.at[slot], ybuf.at[slot], out_sems.at[0, slot]
+            ).wait()
+            pltpu.make_async_copy(
+                x1buf.at[slot], x1buf.at[slot], out_sems.at[1, slot]
+            ).wait()
 
 
 def mrla_block_tail_fused_next(
@@ -179,7 +214,7 @@ def mrla_block_tail_fused_next(
     bn_bias: jax.Array,
     w1_next: jax.Array,  # [1, 1, C, C1] or [C, C1] — next block's conv1
     b1_next: jax.Array,  # [C1]
-    batch_tile: int = 64,
+    batch_tile: int = 32,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (y [B,H,W,C], x1 [B,H,W,C1]) — the MRLA block output and the
     next block's post-conv1 activation, in one HBM pass."""
@@ -194,6 +229,7 @@ def mrla_block_tail_fused_next(
         w1 = jnp.pad(w1, ((0, 0), (0, c1p - c1)))
         b1_next = jnp.pad(b1_next.reshape(-1), (0, c1p - c1))
     bt = min(batch_tile, bsz)
+    cw = _pick_cw(w)
     assert bsz % bt == 0 and w >= 2
 
     ot = jnp.transpose(out, (1, 2, 0, 3))
@@ -221,19 +257,19 @@ def mrla_block_tail_fused_next(
         ],
         out_specs=[full(c), full(c1p)],
         scratch_shapes=[
-            pltpu.VMEM((RING, h, 1, bt, c), out.dtype),
-            pltpu.VMEM((RING, h, 1, bt, c), out.dtype),
-            pltpu.VMEM((1, h, 1, bt, c), out.dtype),
-            pltpu.VMEM((1, h, 1, bt, c1p), out.dtype),
+            pltpu.VMEM((RING, h, cw, bt, c), out.dtype),
+            pltpu.VMEM((RING, h, cw, bt, c), out.dtype),
+            pltpu.VMEM((2, h, cw, bt, c), out.dtype),
+            pltpu.VMEM((2, h, cw, bt, c1p), out.dtype),
             pltpu.SemaphoreType.DMA((2, RING)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     yt, x1t = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((h, w, bsz, c), out.dtype),

@@ -26,12 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from mrla_tpu.kernels.mrla_epilogue import (
-    mrla_block_tail_pallas,
-    mrla_light_epilogue_pallas,
     mrla_light_epilogue_reference,
-    supports_shape,
+    mrla_light_gate,
 )
-from mrla_tpu.kernels.mrla_epilogue_hwbc import mrla_block_tail_hwbc
+from mrla_tpu.kernels.mrla_megatail import mrla_block_tail_fused_next
 from mrla_tpu.ops.common import max_pool_same_torch
 
 BN_EPS = 1e-5
@@ -163,27 +161,44 @@ def _stem(x, p):
 
 
 def _block(x, p, stride: int, heads: int, use_pallas: bool,
-           hwbc_min_w: int = 28):
-    out = jax.nn.relu(_conv(x, p["k1"], p["b1"]))
+           x1_pre=None, p_next=None, hwbc_min_w: int = 28):
+    """One serving block.  x1_pre, if given, is relu(conv1(x)) precomputed by
+    the PREVIOUS block's mega-tail kernel.  When the mega path applies and a
+    next block exists, returns (y, x1_next) where x1_next is the NEXT block's
+    post-conv1 activation (kernels/mrla_megatail.py); else (y, None)."""
+    out = (
+        x1_pre
+        if x1_pre is not None
+        else jax.nn.relu(_conv(x, p["k1"], p["b1"]))
+    )
     out = jax.nn.relu(_conv(out, p["k2"], p["b2"], stride=stride))
     z = _conv(out, p["k3"], p["b3"])  # pre-residual
     identity = _conv(x, p["kd"], p["bd"], stride=stride) if "kd" in p else x
 
-    _, h, w, c = z.shape
-    if use_pallas and w >= hwbc_min_w and x.shape[0] % 8 == 0:
-        # layout-native mega-fused tail (HWBC kernel): residual+relu+
-        # epilogue in one pass over XLA's native {3,0,2,1} activation
-        # layout — boundary transposes fold to bitcasts.  Wins for large
-        # spatial stages; short W pipelines (stage 3/4) stay on jnp.
-        return mrla_block_tail_hwbc(
-            z, identity, p["wq"], p["wk"], p["wv"], p["lam"],
-            p["bn_scale"], p["bn_bias"], heads,
+    b, h, w, c = z.shape
+    bt = min(64, b)
+    if (use_pallas and w >= hwbc_min_w and b % bt == 0
+            and p_next is not None):
+        # mega-fused tail: relu(z+id) + GAP feed the gate via one XLA
+        # multi-output fusion; the kernel then does dwconv-gate-λ-BN-add AND
+        # the next block's 1x1 conv (an in-kernel MXU matmul in the HWBC
+        # layout) in a single HBM pass.  Round-1's in-model losses came from
+        # re-reading z+id and from breaking the epilogue→conv1 fusion — both
+        # absorbed here.  Short-W stages (3/4) stay on jnp.
+        out_act = jax.nn.relu(
+            z.astype(jnp.float32) + identity.astype(jnp.float32)
+        ).astype(z.dtype)
+        gate = mrla_light_gate(out_act, p["wq"], p["wk"], heads)
+        return mrla_block_tail_fused_next(
+            out_act, identity, gate, p["wv"], p["lam"],
+            p["bn_scale"], p["bn_bias"], p_next["k1"], p_next["b1"],
+            batch_tile=bt,
         )
     out = jax.nn.relu(z + identity)
     return mrla_light_epilogue_reference(
         out, identity, p["wq"], p["wk"], p["wv"], p["lam"],
         p["bn_scale"], p["bn_bias"], heads,
-    )
+    ), None
 
 
 @functools.partial(
@@ -204,9 +219,13 @@ def resnet_mrlal_forward(
 
     x = x.astype(serving_params["stem"]["k"].dtype)
     y = _stem(x, serving_params["stem"])
-    for p, stride in zip(serving_params["blocks"], strides):
+    blocks = serving_params["blocks"]
+    x1_pre = None
+    for i, (p, stride) in enumerate(zip(blocks, strides)):
         heads = p["lam"].shape[0] // dim_perhead
-        y = _block(y, p, stride, heads, use_pallas)
+        p_next = blocks[i + 1] if i + 1 < len(blocks) else None
+        y, x1_pre = _block(y, p, stride, heads, use_pallas,
+                           x1_pre=x1_pre, p_next=p_next)
     pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
     fc = serving_params["fc"]
     return pooled @ fc["k"].astype(jnp.float32) + fc["b"]

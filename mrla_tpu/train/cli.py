@@ -267,7 +267,10 @@ def main(argv=None) -> dict:
             distill_kind=args.distillation_type,
             distill_alpha=args.distillation_alpha,
             distill_tau=args.distillation_tau,
-        )
+        ),
+        # donate the TrainState: params/momenta/EMA update in place instead
+        # of being copied every step (the loop rebinds `state` immediately)
+        donate_argnums=(0,),
     )
     eval_step = jax.jit(make_eval_step(use_ema=args.ema_decay > 0))
     repl = NamedSharding(mesh, P())

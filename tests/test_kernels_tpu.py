@@ -72,3 +72,46 @@ def test_hwbc_block_tail_matches_reference(tpu_backend):
         mrla_light_epilogue_reference(out, idn, wq, wk, wv, lam, sc, bi, G),
         np.float32)
     np.testing.assert_allclose(got, ref, atol=0.125)
+
+
+def test_megatail_matches_reference(tpu_backend):
+    """Mega-tail (epilogue + next conv1 matmul) vs the jnp composite."""
+    from mrla_tpu.kernels.mrla_epilogue import (
+        mrla_light_epilogue_reference,
+        mrla_light_gate,
+    )
+    from mrla_tpu.kernels.mrla_megatail import mrla_block_tail_fused_next
+
+    B, H, W, C, C1, G = 8, 16, 16, 256, 64, 8
+    rng = np.random.default_rng(1)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.bfloat16)
+    out = jnp.maximum(mk(B, H, W, C), 0)
+    idn = mk(B, H, W, C)
+    wq = jnp.asarray(rng.standard_normal(5) * 0.2, jnp.float32)
+    wk = jnp.asarray(rng.standard_normal(5) * 0.2, jnp.float32)
+    wv = jnp.asarray(rng.standard_normal((3, 3, 1, C)) * 0.2, jnp.float32)
+    lam = jnp.asarray(rng.standard_normal(C) * 0.2, jnp.float32)
+    sc = jnp.asarray(rng.standard_normal(C) * 0.2 + 1, jnp.float32)
+    bi = jnp.asarray(rng.standard_normal(C) * 0.2, jnp.float32)
+    w1 = mk(C, C1)
+    b1 = jnp.asarray(rng.standard_normal(C1) * 0.2, jnp.float32)
+
+    y_ref = mrla_light_epilogue_reference(out, idn, wq, wk, wv, lam, sc, bi, G)
+    x1_ref = jax.lax.conv_general_dilated(
+        y_ref, w1.reshape(1, 1, C, C1).astype(y_ref.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x1_ref = jnp.maximum(x1_ref + b1.astype(x1_ref.dtype), 0)
+
+    gate = mrla_light_gate(out, wq, wk, G)
+    y, x1 = mrla_block_tail_fused_next(
+        out, idn, gate, wv, lam, sc, bi, w1, b1
+    )
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+        rtol=0.05, atol=0.02,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x1, np.float32), np.asarray(x1_ref, np.float32),
+        rtol=0.05, atol=0.02,
+    )
