@@ -51,6 +51,20 @@ def _pick_cw(w: int) -> int:
     return 1
 
 
+def _pick_bt(bsz: int, h: int, cw: int, c: int, c1p: int,
+             budget: int = 80 * 1024 * 1024) -> int:
+    """Largest batch tile whose scratch buffers fit the VMEM budget."""
+    for bt in (64, 32, 16, 8, 4, 2, 1):
+        if bsz % bt:
+            continue
+        per_elem = 2  # activation dtype is bf16 in practice
+        scratch = (2 * RING + 2) * h * cw * bt * c * per_elem \
+            + 2 * h * cw * bt * c1p * per_elem
+        if scratch <= budget:
+            return bt
+    return 1
+
+
 def _kernel(
     o_ref,  # ANY [H, W, B, C]  out = relu(z + id), HWBC view
     i_ref,  # ANY [H, W, B, C]  identity
@@ -214,7 +228,7 @@ def mrla_block_tail_fused_next(
     bn_bias: jax.Array,
     w1_next: jax.Array,  # [1, 1, C, C1] or [C, C1] — next block's conv1
     b1_next: jax.Array,  # [C1]
-    batch_tile: int = 32,
+    batch_tile: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (y [B,H,W,C], x1 [B,H,W,C1]) — the MRLA block output and the
     next block's post-conv1 activation, in one HBM pass."""
@@ -228,8 +242,10 @@ def mrla_block_tail_fused_next(
     if c1p != c1:
         w1 = jnp.pad(w1, ((0, 0), (0, c1p - c1)))
         b1_next = jnp.pad(b1_next.reshape(-1), (0, c1p - c1))
-    bt = min(batch_tile, bsz)
     cw = _pick_cw(w)
+    bt = _pick_bt(bsz, h, cw, c, c1p)
+    if batch_tile is not None:
+        bt = min(bt, batch_tile) if bsz % batch_tile == 0 else bt
     assert bsz % bt == 0 and w >= 2
 
     ot = jnp.transpose(out, (1, 2, 0, 3))

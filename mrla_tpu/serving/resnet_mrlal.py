@@ -1,4 +1,4 @@
-"""resnet_mrlal inference engine (bf16, BN-folded, fused epilogue).
+"""resnet_mrlal inference engine (bf16, BN-folded).
 
 Numerics: identical math to ResNetMRLALight.apply(train=False) — verified by
 tests — but restructured for serving speed:
@@ -7,10 +7,13 @@ tests — but restructured for serving speed:
     (prepare_inference_params): kernel' = kernel · γ/√(var+ε) over the
     output channel, bias' = β − mean·γ/√(var+ε).  No normalization work at
     run time.
-  * the MRLA epilogue runs as the fused Pallas kernel
-    (mrla_tpu.kernels.mrla_epilogue) on stages whose W is sublane-aligned;
-    other stages use the jnp form XLA fuses well.
   * params are pre-cast to bf16 once (conv kernels) so no per-step casts.
+  * the DEFAULT epilogue path is jnp: two rounds of kernel engineering
+    (ROADMAP.md perf ledger) established that XLA pipelines activations
+    through VMEM (S(1) buffers) between fusions, and ANY custom call forces
+    an HBM spill copy at its boundary — so the fused Pallas mega-tail
+    (kernels/mrla_megatail.py), despite winning isolated by 1.4x, loses
+    in-model.  use_pallas=True keeps it available (numerics verified).
 
 Layer layout comes from the Flax model's param tree, so converted PyTorch
 checkpoints (mrla_tpu.ckpt) and orbax-trained params both work unchanged.
@@ -176,8 +179,7 @@ def _block(x, p, stride: int, heads: int, use_pallas: bool,
     identity = _conv(x, p["kd"], p["bd"], stride=stride) if "kd" in p else x
 
     b, h, w, c = z.shape
-    bt = min(64, b)
-    if (use_pallas and w >= hwbc_min_w and b % bt == 0
+    if (use_pallas and w >= hwbc_min_w and b % 8 == 0
             and p_next is not None):
         # mega-fused tail: relu(z+id) + GAP feed the gate via one XLA
         # multi-output fusion; the kernel then does dwconv-gate-λ-BN-add AND
@@ -192,7 +194,6 @@ def _block(x, p, stride: int, heads: int, use_pallas: bool,
         return mrla_block_tail_fused_next(
             out_act, identity, gate, p["wv"], p["lam"],
             p["bn_scale"], p["bn_bias"], p_next["k1"], p_next["b1"],
-            batch_tile=bt,
         )
     out = jax.nn.relu(z + identity)
     return mrla_light_epilogue_reference(
@@ -209,7 +210,7 @@ def resnet_mrlal_forward(
     x: jax.Array,
     layers: Sequence[int] = (3, 4, 6, 3),
     dim_perhead: int = 32,
-    use_pallas: bool = True,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """[B, H, W, 3] (any float dtype; cast to the param dtype) -> logits fp32."""
     strides = []
