@@ -12,7 +12,12 @@ ITERS forwards fully on-device inside one jitted lax.scan; a carried scalar
 perturbs a 64-element stem bias each step so no iteration can be elided,
 then the carry is fetched — one dispatch, one host round-trip, so the
 remote-tunnel dispatch latency of this environment cannot pollute the
-number (block_until_ready is unreliable through the relay)."""
+number (block_until_ready is unreliable through the relay).
+
+ITERS=400: the dispatch+fetch round trip costs ~30 ms regardless of work
+(measured with a trivial scan body); at 50 iterations that inflated the
+per-iteration time by ~0.6 ms (-3.5% throughput).  400 iterations push the
+fixed cost below 0.1 ms/iter while keeping the run under a minute."""
 
 from __future__ import annotations
 
@@ -25,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = 128
-ITERS = 50
+ITERS = 400
 BASELINE_IMG_PER_S = 8000.0
 
 
