@@ -58,7 +58,10 @@ def main() -> None:
             stem["b"] = stem["b"] + (carry * 1e-20).astype(stem["b"].dtype)
             p["stem"] = stem
             logits = resnet_mrlal_forward(p, x, use_pallas=False)
-            return jnp.sum(logits[0]).astype(jnp.float32), None
+            # consume every SAMPLE's output (not just logits[0]): the engine
+            # traces independent microbatch chains, and XLA dead-code
+            # eliminates any chain whose outputs the carry doesn't touch
+            return jnp.sum(logits[:, 0]).astype(jnp.float32), None
 
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return carry

@@ -5,6 +5,10 @@ these functional forwards — BNs folded into conv weights at load time, the
 MRLA epilogue fused into one Pallas kernel where the shape supports it.
 """
 
+from mrla_tpu.serving.deit import (
+    deit_forward,
+    prepare_deit_inference_params,
+)
 from mrla_tpu.serving.resnet_mrlab import (
     prepare_mrlab_inference_params,
     resnet_mrlab_forward,
@@ -15,6 +19,8 @@ from mrla_tpu.serving.resnet_mrlal import (
 )
 
 __all__ = [
+    "deit_forward",
+    "prepare_deit_inference_params",
     "prepare_inference_params",
     "prepare_mrlab_inference_params",
     "resnet_mrlab_forward",

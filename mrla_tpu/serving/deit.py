@@ -1,0 +1,74 @@
+"""DeiT-family inference engine (bf16, pre-cast params).
+
+Unlike the ResNet engines there is no BN to fold — DeiT normalization is
+LayerNorm, which is data-dependent — so the serving win here is:
+
+  * params are cast to bf16 ONCE at load (prepare_deit_inference_params)
+    instead of per step inside the jitted forward (params are jit inputs,
+    so flax's dtype-based cast re-runs every dispatch otherwise);
+  * LayerNorm scales/biases stay fp32 (normalization statistics are
+    computed in fp32; keeping the affine in fp32 costs nothing — the
+    tensors are [C]-sized — and preserves eval parity);
+  * dropout/drop-path branches are statically absent (train=False models).
+
+Works for every registered deit/deit_mrla*/resmlp/patchconvnet arch whose
+forward is `model.apply(vars, x, train=False)` — the engine rebuilds the
+architecture with dtype=bfloat16 and applies the cast tree.
+
+Reference behavior: /root/reference/deit/deit.py, deit_mrla_light.py,
+deit_mrla_base.py (eval path; distilled eval = (cls + dist) / 2 is inside
+the model per deit.py:200).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+_FP32_KEEP = ("norm", "bn")  # LayerNorm / (ResMLP affine) param groups
+
+
+def _cast_tree(tree: Dict, dtype) -> Dict:
+    """Cast params to `dtype`, keeping any '*norm*' module's leaves fp32."""
+
+    def walk(node, keep_fp32):
+        if isinstance(node, dict):
+            return {
+                k: walk(
+                    v,
+                    keep_fp32 or any(t in k.lower() for t in _FP32_KEEP),
+                )
+                for k, v in node.items()
+            }
+        if keep_fp32:
+            return jnp.asarray(node, jnp.float32)
+        return jnp.asarray(node, dtype)
+
+    return walk(tree, False)
+
+
+def prepare_deit_inference_params(
+    arch: str, variables: Dict, dtype=jnp.bfloat16, **model_kw: Any
+):
+    """Returns (model, cast_variables) ready for deit_forward.
+
+    `arch` is any registry name (deit_*, deit_mrlal_*, deit_mrlab_*,
+    resmlp_*, patchconvnet s60/...); `variables` its trained/converted
+    variable tree.
+    """
+    from mrla_tpu.models import create_model
+
+    model = create_model(arch, dtype=dtype, **model_kw)
+    cast = dict(variables)
+    cast["params"] = _cast_tree(variables["params"], dtype)
+    return model, cast
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def deit_forward(model, variables: Dict, x: jax.Array) -> jax.Array:
+    """[B, H, W, 3] -> logits fp32 (eval semantics, train=False)."""
+    return model.apply(variables, x, train=False).astype(jnp.float32)

@@ -95,16 +95,21 @@ def forward(sp, x, mode: str):
         identity = _conv(y, p["kd"], p["bd"], stride=stride) if "kd" in p else y
         b, h, w, c = z.shape
 
-        if mode.startswith("rowtail"):
+        if mode.startswith("rowtail") or mode.startswith("rt"):
             from mrla_tpu.kernels.mrla_rowtail import mrla_rowtail
-            min_w = {"rowtail1": 56, "rowtail12": 28, "rowtail": 0}.get(mode, 10**9)
+            min_w = {"rowtail1": 56, "rowtail12": 28, "rowtail": 0,
+                     "rtv2": 0, "rtv2_234": 28, "rtv3": 28}.get(mode, 10**9)
             if w >= min_w:
-                out_act = jax.nn.relu(
-                    z.astype(jnp.float32) + identity.astype(jnp.float32)
-                ).astype(z.dtype)
+                out_act = jax.nn.relu(z + identity)  # bf16, fuses into conv3
                 gate = mrla_light_gate(out_act, p["wq"], p["wk"], heads)
-                if i + 1 < len(blocks):
-                    p_next = blocks[i + 1]
+                p_next = blocks[i + 1] if i + 1 < len(blocks) else None
+                # x1 (in-kernel next conv1) only when C1 >= 128: narrower
+                # needs lane padding whose strip-off slice costs a 51MB
+                # relayout copy (measured — the rowtail1 in-model loss)
+                want_x1 = (p_next is not None
+                           and p_next["k1"].shape[-1] >= 128
+                           and mode != "rtv3")
+                if want_x1:
                     y, x1_pre = mrla_rowtail(
                         out_act, identity, gate, p["wv"], p["lam"],
                         p["bn_scale"], p["bn_bias"],

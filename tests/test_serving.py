@@ -112,3 +112,23 @@ def test_mrlab22_serving_matches_flax():
         resnet_mrlab_forward(sp, x, layers=layers, relu_on_attn=False)
     )
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=3e-4)
+
+
+def test_microbatch_chains_bitwise_equal():
+    """Microbatched serving (independent chains) must be BITWISE identical
+    to the unsplit forward — per-sample math is batch-independent."""
+    import numpy as np
+    from mrla_tpu.models import create_model
+    from mrla_tpu.serving import prepare_inference_params, resnet_mrlal_forward
+
+    model = create_model("resnet50_mrlal")
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.float32), train=False
+    )
+    sp = prepare_inference_params(jax.device_get(variables))
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((16, 64, 64, 3)), jnp.float32
+    )
+    full = resnet_mrlal_forward(sp, x, microbatch=0)
+    split = resnet_mrlal_forward(sp, x, microbatch=4)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
