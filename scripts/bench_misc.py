@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Secondary serving bench rows on the real chip: mrlab + DeiT engines,
+with a microbatch sweep for each.
+
+Same methodology as bench.py: ITERS forwards inside one jitted lax.scan
+with a carried scalar threaded through a tiny param perturbation and a
+consumption of EVERY chain's output (so no chain is dead-code eliminated);
+one dispatch + one fetch per measurement.
+
+Usage: python scripts/bench_misc.py [mrlab|deit|all] [mb0 mb1 ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 128
+ITERS = 100
+
+
+def timeit(run_many, *args):
+    float(run_many(*args))  # compile + warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_many(*args))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return BATCH * ITERS / dt
+
+
+def bench_mrlab(microbatches):
+    from mrla_tpu.models import create_model
+    from mrla_tpu.serving import (
+        prepare_mrlab_inference_params, resnet_mrlab_forward,
+    )
+
+    model = create_model("resnet50_mrlab")
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
+    sp = prepare_mrlab_inference_params(
+        jax.device_get(variables), dtype=jnp.bfloat16
+    )
+    x = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).standard_normal((BATCH, 224, 224, 3)),
+            jnp.bfloat16,
+        )
+    )
+
+    for mb in microbatches:
+        @jax.jit
+        def run_many(sp, x, mb=mb):
+            def body(carry, _):
+                p = dict(sp)
+                stem = [dict(s) for s in p["stem"]]
+                stem[0]["b"] = stem[0]["b"] + (carry * 1e-20).astype(
+                    stem[0]["b"].dtype
+                )
+                p["stem"] = stem
+                logits = resnet_mrlab_forward(p, x, microbatch=mb)
+                return jnp.sum(logits[:, 0]).astype(jnp.float32), None
+
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+            return carry
+
+        print(f"mrlab mb={mb}: {timeit(run_many, sp, x):.1f} img/s",
+              flush=True)
+
+
+def bench_deit(microbatches, arch="deit_mrlal_small_patch16_224"):
+    from mrla_tpu.models import create_model
+    from mrla_tpu.serving import deit_forward, prepare_deit_inference_params
+
+    model32 = create_model(arch)
+    variables = jax.jit(lambda r, x: model32.init(r, x, train=False))(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
+    model, cast = prepare_deit_inference_params(
+        arch, jax.device_get(variables)
+    )
+    x = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).standard_normal((BATCH, 224, 224, 3)),
+            jnp.bfloat16,
+        )
+    )
+
+    for mb in microbatches:
+        @jax.jit
+        def run_many(cast, x, mb=mb):
+            def body(carry, _):
+                v = dict(cast)
+                pp = dict(v["params"])
+                ct = pp["cls_token"] if "cls_token" in pp else pp["pos_embed"]
+                key = "cls_token" if "cls_token" in pp else "pos_embed"
+                pp[key] = ct + (carry * 1e-20).astype(ct.dtype)
+                v["params"] = pp
+                logits = deit_forward(model, v, x, microbatch=mb)
+                return jnp.sum(logits[:, 0]).astype(jnp.float32), None
+
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+            return carry
+
+        print(f"{arch} mb={mb}: {timeit(run_many, cast, x):.1f} img/s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    mbs = [int(a) for a in sys.argv[2:]] or [0, 16, 32]
+    if what in ("mrlab", "all"):
+        bench_mrlab(mbs)
+    if what in ("deit", "all"):
+        bench_deit(mbs)

@@ -132,3 +132,25 @@ def test_microbatch_chains_bitwise_equal():
     full = resnet_mrlal_forward(sp, x, microbatch=0)
     split = resnet_mrlal_forward(sp, x, microbatch=4)
     np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
+
+
+def test_mrlab_microbatch_chains_bitwise_equal():
+    """Same guarantee for the eq.6 cache engine (microbatch is opt-in there
+    — it loses on-chip — but must stay numerically exact)."""
+    import numpy as np
+    from mrla_tpu.models import create_model
+    from mrla_tpu.serving import (
+        prepare_mrlab_inference_params, resnet_mrlab_forward,
+    )
+
+    model = create_model("resnet50_mrlab")
+    variables = model.init(
+        jax.random.key(1), jnp.zeros((1, 64, 64, 3), jnp.float32), train=False
+    )
+    sp = prepare_mrlab_inference_params(jax.device_get(variables))
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((8, 64, 64, 3)), jnp.float32
+    )
+    full = resnet_mrlab_forward(sp, x, microbatch=0)
+    split = resnet_mrlab_forward(sp, x, microbatch=2)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))

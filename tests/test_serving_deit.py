@@ -55,3 +55,22 @@ def test_deit_engine_matches_flax(arch):
     # fp32 sanity: same ranking on a zero-init head is vacuous, so instead
     # check magnitudes stay close (head kernel is zero-init -> logits ~ bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref32), atol=0.15)
+
+
+def test_deit_microbatch_chains_bitwise_equal():
+    """Microbatched DeiT serving must be BITWISE identical to the unsplit
+    forward (LayerNorm/attention are per-sample math)."""
+    arch = "deit_mrlal_tiny_patch16_224"
+    model32 = create_model(arch, num_classes=11)
+    variables = model32.init(
+        jax.random.key(2), jnp.zeros((1, 224, 224, 3)), train=False
+    )
+    model, cast = prepare_deit_inference_params(arch, variables,
+                                                num_classes=11)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((8, 224, 224, 3)),
+        jnp.bfloat16,
+    )
+    full = deit_forward(model, cast, x, microbatch=0)
+    split = deit_forward(model, cast, x, microbatch=2)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
