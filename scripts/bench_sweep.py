@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = 128
-ITERS = 50
+ITERS = 200
 
 
 def main() -> None:
@@ -52,7 +52,8 @@ def main() -> None:
             stem["b"] = stem["b"] + (carry * 1e-20).astype(stem["b"].dtype)
             p["stem"] = stem
             logits = resnet_mrlal_forward(p, x, use_pallas=False)
-            return jnp.sum(logits[0]).astype(jnp.float32), None
+            # consume every sample so no microbatch chain is DCE'd
+            return jnp.sum(logits[:, 0]).astype(jnp.float32), None
 
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return carry
