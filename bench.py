@@ -22,12 +22,22 @@ fixed cost below 0.1 ms/iter while keeping the run under a minute."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# The microbatched serving program takes minutes to compile; persist the
+# compiled executable so repeat runs (and CI/driver invocations after a
+# warmup) skip straight to measurement.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 BATCH = 128
 ITERS = 400

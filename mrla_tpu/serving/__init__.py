@@ -7,7 +7,9 @@ MRLA epilogue fused into one Pallas kernel where the shape supports it.
 
 from mrla_tpu.serving.deit import (
     deit_forward,
+    precast_forward,
     prepare_deit_inference_params,
+    prepare_precast_inference_params,
 )
 from mrla_tpu.serving.resnet_mrlab import (
     prepare_mrlab_inference_params,
@@ -20,7 +22,9 @@ from mrla_tpu.serving.resnet_mrlal import (
 
 __all__ = [
     "deit_forward",
+    "precast_forward",
     "prepare_deit_inference_params",
+    "prepare_precast_inference_params",
     "prepare_inference_params",
     "prepare_mrlab_inference_params",
     "resnet_mrlab_forward",

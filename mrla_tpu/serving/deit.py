@@ -11,9 +11,14 @@ LayerNorm, which is data-dependent — so the serving win here is:
     tensors are [C]-sized — and preserves eval parity);
   * dropout/drop-path branches are statically absent (train=False models).
 
-Works for every registered deit/deit_mrla*/resmlp/patchconvnet arch whose
-forward is `model.apply(vars, x, train=False)` — the engine rebuilds the
-architecture with dtype=bfloat16 and applies the cast tree.
+Works for EVERY registered arch whose forward is
+`model.apply(vars, x, train=False)` — deit/deit_mrla*/resmlp/patchconvnet
+AND the BN families (efficientnet_mrlal_b0, resnets): the engine rebuilds
+the architecture with dtype=bfloat16 (so flax norm layers compute in fp32
+and cast back to bf16) and applies the cast tree; eval-mode BN reads the
+fp32 running stats.  Generic aliases: prepare_precast_inference_params /
+precast_forward.  The ResNet families have dedicated BN-FOLDING engines
+(resnet_mrlal/resnet_mrlab) that are faster; this one is the catch-all.
 
 Reference behavior: /root/reference/deit/deit.py, deit_mrla_light.py,
 deit_mrla_base.py (eval path; distilled eval = (cls + dist) / 2 is inside
@@ -92,3 +97,8 @@ def deit_forward(
             axis=0,
         )
     return model.apply(variables, x, train=False).astype(jnp.float32)
+
+
+# Generic names: the engine is arch-agnostic (see module docstring).
+prepare_precast_inference_params = prepare_deit_inference_params
+precast_forward = deit_forward
