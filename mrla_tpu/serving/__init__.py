@@ -19,9 +19,11 @@ from mrla_tpu.serving.resnet_mrlal import (
     prepare_inference_params,
     resnet_mrlal_forward,
 )
+from mrla_tpu.serving.sharded import make_sharded_forward
 
 __all__ = [
     "deit_forward",
+    "make_sharded_forward",
     "precast_forward",
     "prepare_deit_inference_params",
     "prepare_precast_inference_params",

@@ -1,0 +1,190 @@
+"""Optimized-inference CLI — the serving-engine counterpart of the
+reference's eval mode (`resnet/train.py -e`, :284-289 → validate :433).
+
+    python -m mrla_tpu.serving.cli -a resnet50_mrlal --data /path/imagenet \
+        [--torch r50_mrlal_77.75.pth.tar | --resume runs/x] [-b 128]
+
+Routes the arch to its fastest engine (BN-folded mrlal / mrlab cache /
+generic bf16 pre-cast), streams the val split through the threaded loader,
+pads the ragged final batch with a validity mask, and prints per-class-top
+accuracy plus engine throughput as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("mrla_tpu serving eval")
+    p.add_argument("-a", "--arch", default="resnet50_mrlal")
+    p.add_argument("--data", required=True,
+                   help="dataset root containing val/ (ImageFolder)")
+    p.add_argument("--torch", default=None,
+                   help="reference .pth.tar checkpoint to convert")
+    p.add_argument("--resume", default=None,
+                   help="orbax run dir (reads its best/ or checkpoint/)")
+    p.add_argument("-b", "--batch-size", type=int, default=128)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "mrlal", "mrlab", "precast"])
+    p.add_argument("--microbatch", type=int, default=None,
+                   help="override the engine's microbatch-chain size")
+    p.add_argument("--limit", type=int, default=0,
+                   help="evaluate only the first N images (0 = all)")
+    return p
+
+
+def _pick_engine(arch: str) -> str:
+    if arch.startswith("resnet") and arch.endswith("_mrlal"):
+        return "mrlal"
+    if arch.startswith("resnet") and "_mrlab" in arch:
+        return "mrlab"
+    return "precast"
+
+
+def _load_variables(args, model):
+    if args.torch:
+        import torch
+
+        from mrla_tpu.ckpt import (
+            convert_mrla_base_state_dict,
+            convert_resnet_state_dict,
+            convert_vit_state_dict,
+        )
+
+        sd = torch.load(args.torch, map_location="cpu")
+        sd = sd.get("state_dict", sd.get("model", sd))
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        if "_mrlab" in args.arch:
+            return convert_mrla_base_state_dict(sd)
+        if args.arch.startswith(("deit", "vit")):
+            return convert_vit_state_dict(sd)
+        return convert_resnet_state_dict(sd)
+    template = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, args.image_size, args.image_size, 3), jnp.float32),
+        train=False,
+    )
+    if args.resume:
+        from mrla_tpu.ckpt import restore_checkpoint
+
+        for name in ("best", "checkpoint"):
+            out = restore_checkpoint(args.resume, None, name=name)
+            if out is not None:
+                state = out[0]
+                return {
+                    "params": state["params"],
+                    **(
+                        {"batch_stats": state["batch_stats"]}
+                        if state.get("batch_stats")
+                        else {}
+                    ),
+                }
+        raise FileNotFoundError(f"no checkpoint under {args.resume}")
+    print("warning: no --torch/--resume given, evaluating RANDOM weights",
+          file=sys.stderr)
+    return jax.device_get(template)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> dict:
+    args = build_argparser().parse_args(argv)
+
+    from mrla_tpu.data.imagefolder import ImageFolder, iterate_batches
+    from mrla_tpu.data.transforms import normalize
+    from mrla_tpu.models import create_model
+
+    engine = args.engine if args.engine != "auto" else _pick_engine(args.arch)
+    model = create_model(args.arch, num_classes=args.num_classes)
+    variables = _load_variables(args, model)
+
+    mb_kw = (
+        {} if args.microbatch is None else {"microbatch": args.microbatch}
+    )
+    if engine == "mrlal":
+        from mrla_tpu.serving import (
+            prepare_inference_params, resnet_mrlal_forward,
+        )
+
+        sp = prepare_inference_params(jax.device_get(variables))
+        layers = {"resnet50_mrlal": (3, 4, 6, 3),
+                  "resnet101_mrlal": (3, 4, 23, 3),
+                  "resnet152_mrlal": (3, 8, 36, 3)}[args.arch]
+        fwd = lambda x: resnet_mrlal_forward(sp, x, layers=layers, **mb_kw)
+    elif engine == "mrlab":
+        from mrla_tpu.serving import (
+            prepare_mrlab_inference_params, resnet_mrlab_forward,
+        )
+
+        sp = prepare_mrlab_inference_params(jax.device_get(variables))
+        layers = (3, 4, 6, 3) if "50" in args.arch else (3, 4, 23, 3)
+        relu_on_attn = not args.arch.endswith("22")
+        fwd = lambda x: resnet_mrlab_forward(
+            sp, x, layers=layers, relu_on_attn=relu_on_attn, **mb_kw
+        )
+    else:
+        from mrla_tpu.serving import (
+            precast_forward, prepare_precast_inference_params,
+        )
+
+        bf_model, cast = prepare_precast_inference_params(
+            args.arch, variables, num_classes=args.num_classes
+        )
+        fwd = lambda x: precast_forward(bf_model, cast, x, **mb_kw)
+
+    import os
+
+    val_dir = os.path.join(args.data, "val")
+    ds = ImageFolder(val_dir if os.path.isdir(val_dir) else args.data)
+    idxs = np.arange(len(ds))
+    if args.limit:
+        idxs = idxs[: args.limit]
+    n_valid = len(idxs)
+    pad = (-len(idxs)) % args.batch_size
+    idxs = np.concatenate([idxs, np.zeros(pad, np.int64)])
+
+    top1 = top5 = seen = 0
+    device_s = 0.0
+    offset = 0
+    for b in iterate_batches(ds, idxs, args.batch_size, args.image_size,
+                             train=False, num_threads=args.workers,
+                             drop_last=False):
+        img = jnp.asarray(b["image"])
+        if img.dtype == jnp.uint8:
+            img = normalize(img)
+        img = img.astype(jnp.bfloat16)
+        t0 = time.perf_counter()
+        logits = jax.device_get(fwd(img))
+        device_s += time.perf_counter() - t0
+        labels = np.asarray(b["label"])
+        valid = (offset + np.arange(len(labels))) < n_valid
+        offset += len(labels)
+        order = np.argsort(-logits, axis=-1)[:, :5]
+        top1 += int(((order[:, 0] == labels) & valid).sum())
+        top5 += int((np.any(order == labels[:, None], axis=1) & valid).sum())
+        seen += int(valid.sum())
+
+    result = {
+        "arch": args.arch,
+        "engine": engine,
+        "acc1": round(100.0 * top1 / max(seen, 1), 3),
+        "acc5": round(100.0 * top5 / max(seen, 1), 3),
+        "images": seen,
+        "img_per_s_device": round(seen / max(device_s, 1e-9), 1),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

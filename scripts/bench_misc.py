@@ -115,6 +115,47 @@ def bench_deit(microbatches, arch="deit_mrlal_small_patch16_224"):
               flush=True)
 
 
+def bench_detect(preset="faster_rcnn_r50mrlal_fpn_1x_coco"):
+    """Backbone+FPN feature export at the COCO eval size (1333x800 padded
+    to 1344x800 for /32 divisibility), bs8 bf16 — the mmdet inference
+    contract (SURVEY §3.5)."""
+    from mrla_tpu.detect.configs import build_backbone_fpn
+
+    B, H, W = 8, 800, 1344
+    iters = 40
+    model = build_backbone_fpn(preset, dtype=jnp.bfloat16)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False)
+    )(jax.random.key(0), jnp.zeros((1, H, W, 3), jnp.float32))
+    x = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).standard_normal((B, H, W, 3)),
+            jnp.bfloat16,
+        )
+    )
+
+    @jax.jit
+    def run_many(v, x):
+        def body(carry, _):
+            xx = x + (carry * 1e-20).astype(x.dtype)
+            feats = model.apply(v, xx, train=False)
+            s = sum(jnp.sum(f[:, 0, 0, 0].astype(jnp.float32)) for f in feats)
+            return s, None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return carry
+
+    float(run_many(variables, x))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_many(variables, x))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(f"{preset} (bs{B} {H}x{W} bf16): {B * iters / dt:.1f} img/s",
+          flush=True)
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     mbs = [int(a) for a in sys.argv[2:]] or [0, 16, 32]
@@ -122,3 +163,5 @@ if __name__ == "__main__":
         bench_mrlab(mbs)
     if what in ("deit", "all"):
         bench_deit(mbs)
+    if what in ("detect", "all"):
+        bench_detect()

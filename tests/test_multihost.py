@@ -52,13 +52,11 @@ print("WORKER_RESULT " + json.dumps(
 """
 
 
-@pytest.mark.slow
-def test_two_process_training(tmp_path):
+def _launch_two_workers(out_dir):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 
-    out_dir = tmp_path / "run"
     env_base = {
         k: v
         for k, v in os.environ.items()
@@ -88,10 +86,29 @@ def test_two_process_training(tmp_path):
         # generous: two interpreters compile the full model concurrently and
         # often share the machine with other test/TPU jobs
         out, _ = p.communicate(timeout=2400)
-        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+        if p.returncode != 0:
+            for q in procs:
+                q.kill()
+            return None, f"rank {rank} failed:\n{out[-4000:]}"
         line = [l for l in out.splitlines() if l.startswith("WORKER_RESULT ")]
         assert line, f"rank {rank} printed no result:\n{out[-4000:]}"
         results[rank] = json.loads(line[-1].split(" ", 1)[1])
+    return results, None
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    out_dir = tmp_path / "run"
+    # One retry: the gloo TCP transport can still lose the race under
+    # extreme machine load (the init-time barrier removes the common
+    # compile-skew failure; a loaded box can also stall the recv path).
+    results, err = _launch_two_workers(out_dir)
+    if results is None:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        results, err2 = _launch_two_workers(out_dir)
+        assert results is not None, f"both attempts failed:\n{err}\n---\n{err2}"
 
     # Same GLOBAL loss on both processes — the local shards really were
     # assembled into one global batch and the gradient all-reduced.
