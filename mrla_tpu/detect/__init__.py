@@ -5,6 +5,15 @@ matching the MMDetection backbone contract — not a full detection framework.
 """
 
 from mrla_tpu.detect.fpn import FPN
-from mrla_tpu.detect.backbone import MRLABackboneFPN, freeze_mask
+from mrla_tpu.detect.backbone import (
+    MRLABackboneFPN,
+    freeze_mask,
+    load_backbone_from_classification,
+)
 
-__all__ = ["FPN", "MRLABackboneFPN", "freeze_mask"]
+__all__ = [
+    "FPN",
+    "MRLABackboneFPN",
+    "freeze_mask",
+    "load_backbone_from_classification",
+]

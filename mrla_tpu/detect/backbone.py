@@ -56,6 +56,54 @@ class MRLABackboneFPN(nn.Module):
         )(feats)
 
 
+def load_backbone_from_classification(
+    det_variables, cls_variables, backbone_scope: str = "backbone"
+):
+    """Graft classification-checkpoint weights into the backbone+FPN tree.
+
+    The reference initializes the mmdet backbone from a classification
+    .pth.tar via init_cfg=Pretrained (faster_rcnn_r50mrlal_fpn.py:14) —
+    state-dict keys match because the backbone IS the classification trunk.
+    Here the equivalent: copy every backbone-scope entry present in the
+    classification tree (stem + layer*; fc/head entries absent from the
+    features_only module are ignored), leave the neck at its init.
+
+    det_variables: init tree of MRLABackboneFPN ({"params": {"backbone":
+    ..., "neck": ...}, "batch_stats": {...}}); cls_variables: tree from
+    `convert_resnet_state_dict` or a trained run (unscoped).
+    Returns a new det tree; raises if a backbone param is missing from the
+    classification tree or has mismatched shape.
+    """
+    import flax
+
+    out = {}
+    for col in det_variables:
+        det_col = flax.traverse_util.flatten_dict(det_variables[col])
+        cls_col = (
+            flax.traverse_util.flatten_dict(cls_variables[col])
+            if col in cls_variables
+            else {}
+        )
+        new_col = {}
+        for key, val in det_col.items():
+            if key[0] == backbone_scope:
+                src = cls_col.get(key[1:])
+                if src is None:
+                    raise KeyError(
+                        f"classification checkpoint lacks {'/'.join(key[1:])}"
+                    )
+                if tuple(src.shape) != tuple(val.shape):
+                    raise ValueError(
+                        f"shape mismatch at {'/'.join(key)}: "
+                        f"{src.shape} vs {val.shape}"
+                    )
+                new_col[key] = src
+            else:
+                new_col[key] = val
+        out[col] = flax.traverse_util.unflatten_dict(new_col)
+    return out
+
+
 def freeze_mask(params, frozen_stages: int, backbone_scope: str = "backbone"):
     """optax-style mask: True = trainable, False = frozen.
 

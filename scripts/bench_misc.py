@@ -115,6 +115,48 @@ def bench_deit(microbatches, arch="deit_mrlal_small_patch16_224"):
               flush=True)
 
 
+def bench_mrlal101(microbatches):
+    from mrla_tpu.models import create_model
+    from mrla_tpu.serving import (
+        prepare_inference_params, resnet_mrlal_forward,
+    )
+
+    layers = (3, 4, 23, 3)
+    model = create_model("resnet101_mrlal")
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
+    sp = prepare_inference_params(jax.device_get(variables),
+                                  dtype=jnp.bfloat16)
+    x = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).standard_normal((BATCH, 224, 224, 3)),
+            jnp.bfloat16,
+        )
+    )
+
+    for mb in microbatches:
+        @jax.jit
+        def run_many(sp, x, mb=mb):
+            def body(carry, _):
+                p = dict(sp)
+                stem = dict(p["stem"])
+                stem["b"] = stem["b"] + (carry * 1e-20).astype(
+                    stem["b"].dtype
+                )
+                p["stem"] = stem
+                logits = resnet_mrlal_forward(p, x, layers=layers,
+                                              microbatch=mb)
+                return jnp.sum(logits[:, 0]).astype(jnp.float32), None
+
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=ITERS)
+            return carry
+
+        print(f"resnet101_mrlal mb={mb}: {timeit(run_many, sp, x):.1f} img/s",
+              flush=True)
+
+
 def bench_detect(preset="faster_rcnn_r50mrlal_fpn_1x_coco"):
     """Backbone+FPN feature export at the COCO eval size (1333x800 padded
     to 1344x800 for /32 divisibility), bs8 bf16 — the mmdet inference
@@ -163,5 +205,7 @@ if __name__ == "__main__":
         bench_mrlab(mbs)
     if what in ("deit", "all"):
         bench_deit(mbs)
+    if what in ("mrlal101",):
+        bench_mrlal101(mbs)
     if what in ("detect", "all"):
         bench_detect()

@@ -64,3 +64,46 @@ def test_backbone_fpn_end_to_end_and_freeze():
     assert l1 and all(not flat[k] for k in l1)
     assert l2 and all(flat[k] for k in l2)
     assert neck and all(flat[k] for k in neck)
+
+
+def test_load_backbone_from_classification():
+    """Grafted classification weights must reproduce the classification
+    trunk's features through the joint backbone+FPN module (the reference's
+    init_cfg=Pretrained flow, faster_rcnn_r50mrlal_fpn.py:14)."""
+    from mrla_tpu.detect import load_backbone_from_classification
+
+    layers = [1, 1, 1, 1]
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 64, 64, 3)), jnp.float32
+    )
+
+    # "classification checkpoint": a features_only trunk with its own init
+    cls = ResNetMRLALight(layers=layers, features_only=True,
+                          use_drop_path=False)
+    cls_vars = cls.init(jax.random.key(5), jnp.zeros((1, 64, 64, 3)),
+                        train=False)
+    want = cls.apply(cls_vars, x, train=False)
+
+    det = MRLABackboneFPN(layers=layers)
+    det_vars = det.init(jax.random.key(6), jnp.zeros((1, 64, 64, 3)),
+                        train=False)
+    grafted = load_backbone_from_classification(
+        jax.device_get(det_vars), jax.device_get(cls_vars)
+    )
+
+    # truth: classification features -> FPN with the det tree's neck params
+    neck = FPN()
+    want_out = neck.apply({"params": grafted["params"]["neck"]}, want)
+    got_out = det.apply(grafted, x, train=False)
+    for got, ref in zip(got_out, want_out):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    # missing keys fail loudly
+    import pytest as _pytest
+
+    broken = jax.tree.map(lambda a: a, cls_vars)
+    del broken["params"]["stem"]
+    with _pytest.raises(KeyError):
+        load_backbone_from_classification(jax.device_get(det_vars),
+                                          jax.device_get(broken))
