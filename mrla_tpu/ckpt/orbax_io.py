@@ -41,14 +41,24 @@ def save_checkpoint(
 
 
 def restore_checkpoint(
-    directory: str, state_template: Any, name: str = "checkpoint"
+    directory: str, state_template: Any = None, name: str = "checkpoint"
 ) -> Optional[tuple[Any, int, float]]:
-    """Restore (state, epoch, best_acc1); None if absent."""
+    """Restore (state, epoch, best_acc1); None if absent.
+
+    With state_template=None the checkpoint is restored as raw nested
+    dicts (a TrainState comes back keyed by its field names: 'params',
+    'batch_stats', ...) — the form the serving CLI consumes; pass the live
+    TrainState template to get a typed restore for training resume."""
     path = os.path.join(_abs(directory), name)
     if not os.path.exists(path):
         return None
     ckptr = ocp.PyTreeCheckpointer()
-    template = {"state": state_template, "meta": {"epoch": 0, "best_acc1": 0.0}}
-    restored = ckptr.restore(path, item=template)
+    if state_template is None:
+        restored = ckptr.restore(path)
+    else:
+        template = {
+            "state": state_template, "meta": {"epoch": 0, "best_acc1": 0.0}
+        }
+        restored = ckptr.restore(path, item=template)
     meta = restored["meta"]
     return restored["state"], int(meta["epoch"]), float(meta["best_acc1"])

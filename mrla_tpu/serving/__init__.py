@@ -1,8 +1,12 @@
 """Serving path: hand-scheduled inference engines over trained param trees.
 
 Training and fine-tuning run through the Flax models; serving runs through
-these functional forwards — BNs folded into conv weights at load time, the
-MRLA epilogue fused into one Pallas kernel where the shape supports it.
+these functional forwards — BNs folded into conv weights at load time and
+the batch traced as independent microbatch chains so XLA overlaps each
+chain's MRLA gate barrier with other chains' conv compute (the measured
+fast path; the Pallas epilogue kernels remain available via use_pallas but
+lose in-model — see ROADMAP.md perf ledger).  `make_sharded_forward` scales
+any engine over a device mesh; `cli.py` is the user-facing eval entry.
 """
 
 from mrla_tpu.serving.deit import (

@@ -198,6 +198,43 @@ def bench_detect(preset="faster_rcnn_r50mrlal_fpn_1x_coco"):
           flush=True)
 
 
+def bench_loader(n=512, size=224):
+    """Host input pipeline: native C++ libjpeg batch decoder vs PIL, img/s
+    (the BASELINE.json jpeg-decode-path requirement)."""
+    import tempfile
+
+    from PIL import Image
+
+    from mrla_tpu.data import native
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(n):
+            arr = rng.integers(0, 255, (384, 512, 3), dtype=np.uint8)
+            p = os.path.join(d, f"{i}.jpg")
+            Image.fromarray(arr).save(p, quality=90)
+            paths.append(p)
+
+        if native.available():
+            native.decode_batch(paths[:8], size, train=False, seed=0)  # warm
+            t0 = time.perf_counter()
+            native.decode_batch(paths, size, train=False, seed=0)
+            dt = time.perf_counter() - t0
+            print(f"native loader ({n} jpegs -> {size}px): {n / dt:.0f} img/s",
+                  flush=True)
+        else:
+            print("native loader unavailable", flush=True)
+
+        t0 = time.perf_counter()
+        for p in paths:
+            im = Image.open(p).convert("RGB")
+            im = im.resize((size, size), Image.BILINEAR)
+            np.asarray(im)
+        dt = time.perf_counter() - t0
+        print(f"PIL single-thread baseline: {n / dt:.0f} img/s", flush=True)
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     mbs = [int(a) for a in sys.argv[2:]] or [0, 16, 32]
@@ -209,3 +246,5 @@ if __name__ == "__main__":
         bench_mrlal101(mbs)
     if what in ("detect", "all"):
         bench_detect()
+    if what in ("loader",):
+        bench_loader()

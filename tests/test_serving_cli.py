@@ -57,3 +57,23 @@ def test_cli_precast_engine(tiny_imagefolder):
     ])
     assert res["engine"] == "precast"
     assert res["images"] == 6
+
+
+def test_cli_resume_from_orbax_run(tiny_imagefolder, tmp_path):
+    """Train briefly with the train CLI, then evaluate the saved orbax
+    checkpoint through the serving CLI's --resume path."""
+    from mrla_tpu.train.cli import main as train_main
+
+    run_dir = str(tmp_path / "run")
+    train_main([
+        "-a", "resnet50_mrlal", "--data", "synthetic", "--epochs", "1",
+        "--synthetic-steps", "2", "--batch-size", "8", "--image-size", "64",
+        "--num-classes", "2", "--output-dir", run_dir,
+    ])
+
+    res = main([
+        "-a", "resnet50_mrlal", "--data", tiny_imagefolder,
+        "-b", "4", "--image-size", "64", "--num-classes", "2",
+        "--workers", "2", "--resume", run_dir, "--limit", "4",
+    ])
+    assert res["images"] == 4 and res["engine"] == "mrlal"
