@@ -126,9 +126,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
             prepare_mrlab_inference_params, resnet_mrlab_forward,
         )
 
-        sp = prepare_mrlab_inference_params(jax.device_get(variables))
         layers = (3, 4, 6, 3) if "50" in args.arch else (3, 4, 23, 3)
         relu_on_attn = not args.arch.endswith("22")
+        deep_stem = not args.arch.endswith("22")  # base22 = 7x7 stem
+        sp = prepare_mrlab_inference_params(
+            jax.device_get(variables), layers=layers, deep_stem=deep_stem
+        )
         fwd = lambda x: resnet_mrlab_forward(
             sp, x, layers=layers, relu_on_attn=relu_on_attn, **mb_kw
         )

@@ -77,3 +77,13 @@ def test_cli_resume_from_orbax_run(tiny_imagefolder, tmp_path):
         "--workers", "2", "--resume", run_dir, "--limit", "4",
     ])
     assert res["images"] == 4 and res["engine"] == "mrlal"
+
+
+def test_cli_mrlab_engine(tiny_imagefolder):
+    res = main([
+        "-a", "resnet50_mrlab", "--data", tiny_imagefolder,
+        "-b", "4", "--image-size", "64", "--num-classes", "2",
+        "--workers", "2", "--limit", "4",
+    ])
+    assert res["engine"] == "mrlab"
+    assert res["images"] == 4
