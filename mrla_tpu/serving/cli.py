@@ -116,19 +116,20 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
             prepare_inference_params, resnet_mrlal_forward,
         )
 
-        sp = prepare_inference_params(jax.device_get(variables))
-        layers = {"resnet50_mrlal": (3, 4, 6, 3),
-                  "resnet101_mrlal": (3, 4, 23, 3),
-                  "resnet152_mrlal": (3, 8, 36, 3)}[args.arch]
+        # depth comes from the constructed model, not a name table —
+        # prepare_inference_params also verifies it against the param tree
+        layers = tuple(model.layers)
+        sp = prepare_inference_params(jax.device_get(variables),
+                                      layers=layers)
         fwd = lambda x: resnet_mrlal_forward(sp, x, layers=layers, **mb_kw)
     elif engine == "mrlab":
         from mrla_tpu.serving import (
             prepare_mrlab_inference_params, resnet_mrlab_forward,
         )
 
-        layers = (3, 4, 6, 3) if "50" in args.arch else (3, 4, 23, 3)
-        relu_on_attn = not args.arch.endswith("22")
-        deep_stem = not args.arch.endswith("22")  # base22 = 7x7 stem
+        layers = tuple(model.layers)
+        relu_on_attn = bool(model.relu_on_attn)
+        deep_stem = bool(model.deep_stem)
         sp = prepare_mrlab_inference_params(
             jax.device_get(variables), layers=layers, deep_stem=deep_stem
         )
@@ -155,6 +156,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     n_valid = len(idxs)
     pad = (-len(idxs)) % args.batch_size
     idxs = np.concatenate([idxs, np.zeros(pad, np.int64)])
+
+    # compile outside the timed region (first call jits the full engine)
+    jax.device_get(
+        fwd(jnp.zeros((args.batch_size, args.image_size, args.image_size, 3),
+                      jnp.bfloat16))
+    )
 
     top1 = top5 = seen = 0
     device_s = 0.0

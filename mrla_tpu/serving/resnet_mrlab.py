@@ -93,19 +93,33 @@ def prepare_mrlab_inference_params(
         blk["bn_bias"] = jnp.asarray(b, jnp.float32)
         return blk
 
+    # Depth guard: every layer*_* entry must be consumed, else a wrong
+    # `layers` silently serves a truncated network with valid shapes.
+    expect = {
+        f"layer{s + 1}_{b}"
+        for s, blocks in enumerate(layers)
+        for b in range(blocks)
+    }
+    have = {n for n in params if n.startswith("layer")}
+    if have != expect:
+        raise ValueError(
+            f"layers={tuple(layers)} does not match the param tree: "
+            f"missing={sorted(expect - have)[:3]} "
+            f"extra={sorted(have - expect)[:3]}"
+        )
+
     out["stages"] = []
     for stage_idx, blocks in enumerate(layers):
         first = block_params(f"layer{stage_idx + 1}_0")
         interior = [
             block_params(f"layer{stage_idx + 1}_{bi}") for bi in range(1, blocks)
         ]
+        # jnp.stack over one tree already yields the [1, ...] leading axis
         stacked = (
             jax.tree.map(lambda *xs: jnp.stack(xs), *interior)
-            if len(interior) > 1
-            else (interior[0] if interior else None)
+            if interior
+            else None
         )
-        if len(interior) == 1:
-            stacked = jax.tree.map(lambda x: x[None], stacked)
         out["stages"].append({"first": first, "interior": stacked})
     out["fc"] = {
         "k": jnp.asarray(params["head"]["fc"]["kernel"], dtype),

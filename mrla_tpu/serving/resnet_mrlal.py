@@ -92,6 +92,22 @@ def prepare_inference_params(
                     w4[big_i, big_j, py, px] = w7[2 * big_i + py, 2 * big_j + px]
     out["stem"]["k_s2d"] = jnp.asarray(w4.reshape(4, 4, 12, -1), dtype)
 
+    # Guard against preparing with the wrong depth (e.g. resnet50 default
+    # layers on a resnet101 tree): every layer*_* entry must be consumed —
+    # a silent subset would serve a truncated network with valid shapes.
+    expect = {
+        f"layer{s + 1}_{b}"
+        for s, blocks in enumerate(layers)
+        for b in range(blocks)
+    }
+    have = {n for n in params if n.startswith("layer")}
+    if have != expect:
+        raise ValueError(
+            f"layers={tuple(layers)} does not match the param tree: "
+            f"missing={sorted(expect - have)[:3]} "
+            f"extra={sorted(have - expect)[:3]}"
+        )
+
     out["blocks"] = []
     for stage_idx, blocks in enumerate(layers):
         for block_idx in range(blocks):
@@ -260,6 +276,12 @@ def _forward_impl(
     x = x.astype(serving_params["stem"]["k"].dtype)
     y = _stem(x, serving_params["stem"])
     blocks = serving_params["blocks"]
+    if len(blocks) != len(strides):
+        raise ValueError(
+            f"serving params hold {len(blocks)} blocks but layers="
+            f"{tuple(layers)} implies {len(strides)} — prepare and forward "
+            "were given different depths"
+        )
     x1_pre = None
     for i, (p, stride) in enumerate(zip(blocks, strides)):
         heads = p["lam"].shape[0] // dim_perhead

@@ -43,7 +43,7 @@ def make_sharded_forward(
     @jax.jit
     def sharded(serving_params: Dict, x: jax.Array) -> jax.Array:
         return jax.shard_map(
-            lambda sp, xx: fwd(sp, xx),
+            fwd,
             mesh=mesh,
             in_specs=(P(), P(axis)),
             out_specs=P(axis),

@@ -126,7 +126,7 @@ def bench_mrlal101(microbatches):
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
     )
-    sp = prepare_inference_params(jax.device_get(variables),
+    sp = prepare_inference_params(jax.device_get(variables), layers=layers,
                                   dtype=jnp.bfloat16)
     x = jax.device_put(
         jnp.asarray(
