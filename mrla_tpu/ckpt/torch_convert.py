@@ -129,6 +129,7 @@ def convert_resnet_state_dict(
         if rest[0].startswith("conv"):
             put("params", (blk, rest[0], "kernel"), _conv_kernel(v))
         elif rest[0].startswith("bn"):
+            # catches bn1/2/3 AND bn_mrla/bn_la/bn_dw — same mapping for all
             col, leaf = _BN_MAP[rest[1]]
             put(col, (blk, rest[0], leaf), v)
         elif rest[0] == "downsample":
@@ -153,9 +154,6 @@ def convert_resnet_state_dict(
                 put("params", (blk, "mrla", "mrla", "proj", "wv"), _dw_kernel(v))
             else:
                 raise KeyError(f"unrecognized mrla key: {key}")
-        elif rest[0] == "bn_mrla":
-            col, leaf = _BN_MAP[rest[1]]
-            put(col, (blk, "bn_mrla", leaf), v)
         elif rest[0] == "la":
             # la_eq4: la.W{q,k,v}.weight -> la_proj/w{q,k,v}
             if rest[1] in ("Wq", "Wk"):
@@ -165,14 +163,8 @@ def convert_resnet_state_dict(
                 put("params", (blk, "la_proj", "wv"), _dw_kernel(v))
             else:
                 raise KeyError(f"unrecognized la key: {key}")
-        elif rest[0] == "bn_la":
-            col, leaf = _BN_MAP[rest[1]]
-            put(col, (blk, "bn_la", leaf), v)
         elif rest[0] == "dwconv":
             put("params", (blk, "dwconv", "kernel"), _dw_kernel(v))
-        elif rest[0] == "bn_dw":
-            col, leaf = _BN_MAP[rest[1]]
-            put(col, (blk, "bn_dw", leaf), v)
         else:
             raise KeyError(f"unrecognized torch key: {key}")
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 import jax
@@ -187,16 +188,13 @@ def main(argv=None) -> dict:
         steps_per_epoch = len(train_ds) // args.batch_size
 
     sample = jnp.zeros((n_dev, args.image_size, args.image_size, 3), jnp.float32)
-    tx_holder = {}
-
-    def make_tx(params):
-        tx_holder["tx"] = build_optimizer(args, params, steps_per_epoch)
-        return tx_holder["tx"]
 
     rng = jax.random.key(args.seed)
     variables = model.init(rng, sample, train=False)
     state = create_train_state(
-        model, rng, sample, make_tx(variables["params"]), ema_decay=args.ema_decay
+        model, rng, sample, build_optimizer(args, variables["params"],
+                                            steps_per_epoch),
+        ema_decay=args.ema_decay, variables=variables,
     )
 
     if args.finetune:
@@ -229,8 +227,12 @@ def main(argv=None) -> dict:
     if args.resume:
         restored = restore_checkpoint(args.resume, state)
         if restored is not None:
-            state, start_epoch, best_acc1 = restored
-            print(f"resumed from {args.resume} at epoch {start_epoch}")
+            state, last_epoch, best_acc1 = restored
+            # the checkpoint stores the just-COMPLETED epoch; training
+            # resumes at the next one (reference stores epoch+1 for the
+            # same effect, resnet/train.py:334,235)
+            start_epoch = last_epoch + 1
+            print(f"resumed from {args.resume} after epoch {last_epoch}")
 
     use_soft = args.mixup > 0 or args.cutmix > 0
     if use_soft:
@@ -248,13 +250,27 @@ def main(argv=None) -> dict:
         if args.teacher_resume:
             t_state = create_train_state(
                 teacher, jax.random.key(0), sample,
-                build_optimizer(args, t_vars["params"], steps_per_epoch))
+                build_optimizer(args, t_vars["params"], steps_per_epoch),
+                variables=t_vars)
             restored = restore_checkpoint(args.teacher_resume, t_state)
-            if restored is not None:
-                t_state = restored[0]
-                t_vars = {"params": t_state.params}
-                if t_state.batch_stats:
-                    t_vars["batch_stats"] = t_state.batch_stats
+            if restored is None:
+                # never distill against random weights silently — the
+                # reference always loads a pretrained teacher and raises
+                # on a bad path (deit/main.py:330-353)
+                raise FileNotFoundError(
+                    f"--teacher-resume checkpoint not found: "
+                    f"{args.teacher_resume}"
+                )
+            t_state = restored[0]
+            t_vars = {"params": t_state.params}
+            if t_state.batch_stats:
+                t_vars["batch_stats"] = t_state.batch_stats
+        elif args.distillation_type != "none":
+            print(
+                "warning: distillation with a RANDOM teacher "
+                "(no --teacher-resume) — only meaningful in tests",
+                file=sys.stderr,
+            )
         teacher_fn = lambda images: teacher.apply(t_vars, images, train=False)
 
     train_step = jax.jit(
@@ -390,12 +406,15 @@ def main(argv=None) -> dict:
         t0 = time.time()
         losses = AverageMeter("loss")
         accs = AverageMeter("acc")
+        profiling = False
         for i, (b, prenorm) in enumerate(train_batches(epoch)):
             if args.profile_dir and epoch == start_epoch:
                 if i == 5:
                     jax.profiler.start_trace(args.profile_dir)
-                elif i == 15:
+                    profiling = True
+                elif i == 15 and profiling:
                     jax.profiler.stop_trace()
+                    profiling = False
             key = jax.random.fold_in(aug_key, epoch * steps_per_epoch + i)
             if prenorm:
                 images = jnp.asarray(b["image"])
@@ -409,9 +428,19 @@ def main(argv=None) -> dict:
             else:
                 images, labels = device_augment(
                     key, jnp.asarray(b["image"]), jnp.asarray(b["label"]))
-            batch = shard_batch(
-                {"image": np.asarray(images), "label": np.asarray(labels)}, mesh
-            )
+            if jax.process_count() == 1:
+                # keep the augmented batch ON DEVICE — np.asarray would
+                # force a device->host->device round trip of the full
+                # image batch every step (shard_batch device_puts
+                # committed arrays without a host copy)
+                batch = shard_batch({"image": images, "label": labels}, mesh)
+            else:
+                # multi-host: make_array_from_process_local_data consumes
+                # host-local numpy shards
+                batch = shard_batch(
+                    {"image": np.asarray(images),
+                     "label": np.asarray(labels)}, mesh
+                )
             with mesh:
                 state, metrics = train_step(state, batch, rng)
             losses.update(float(metrics["loss"]), len(b["label"]))
@@ -421,6 +450,8 @@ def main(argv=None) -> dict:
                 print(f"epoch {epoch} [{i}/{steps_per_epoch}] {losses}")
             if not np.isfinite(losses.val):
                 raise FloatingPointError(f"non-finite loss at epoch {epoch}")
+        if profiling:  # epoch ended before step 15 — close the trace
+            jax.profiler.stop_trace()
 
         acc1, acc5 = validate(epoch)
         is_best = acc1 > best_acc1

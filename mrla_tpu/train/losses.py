@@ -55,10 +55,14 @@ def distillation_loss(
     if kind == "soft":
         logp_s = jax.nn.log_softmax(s / tau, axis=-1)
         p_t = jax.nn.softmax(t / tau, axis=-1)
-        # KL(p_t || p_s), sum over classes, mean over batch, τ² scaled
+        # KL(p_t || p_s) summed, τ² scaled, divided by numel = B*K — the
+        # reference's "legacy PyTorch behavior" (deit/losses.py:54-63,
+        # kl_div(reduction='sum') * T*T / outputs_kd.numel()).  Without
+        # the /K the term is num_classes times too large and dominates
+        # the blended loss.
         logp_t = jax.nn.log_softmax(t / tau, axis=-1)
         kl = jnp.sum(p_t * (logp_t - logp_s), axis=-1)
-        dist = jnp.mean(kl) * (tau ** 2)
+        dist = jnp.mean(kl) * (tau ** 2) / s.shape[-1]
     elif kind == "hard":
         dist = cross_entropy(s, jnp.argmax(t, axis=-1))
     else:

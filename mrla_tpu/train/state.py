@@ -31,8 +31,12 @@ def create_train_state(
     sample_input,
     tx: optax.GradientTransformation,
     ema_decay: float = 0.0,
+    variables: Optional[Any] = None,
 ) -> TrainState:
-    variables = model.init(rng, sample_input, train=False)
+    """Pass `variables` to reuse an init already computed (model.init of a
+    full model traces the whole network — doing it twice doubles startup)."""
+    if variables is None:
+        variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState.create(

@@ -55,18 +55,24 @@ def make_train_step(
 
         def compute_loss(params):
             variables = {"params": params}
-            mutable = []
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            out = state.apply_fn(
-                variables,
-                batch["image"],
-                train=True,
-                mutable=mutable,
-                rngs=rngs or None,
-            )
-            logits, new_model_state = out if mutable else (out, {})
+                # flax returns (out, mutated_vars) for ANY non-False
+                # mutable — including [] — so only pass it when we truly
+                # collect batch_stats, else stats-free models (DeiT) would
+                # mis-unpack the tuple as their logits
+                logits, new_model_state = state.apply_fn(
+                    variables,
+                    batch["image"],
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs=rngs or None,
+                )
+            else:
+                logits = state.apply_fn(
+                    variables, batch["image"], train=True, rngs=rngs or None
+                )
+                new_model_state = {}
             if isinstance(logits, tuple):
                 cls_logits, dist_logits = logits
             else:
