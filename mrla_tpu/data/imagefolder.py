@@ -159,7 +159,17 @@ def iterate_batches(
         for bi in range(worker_id, n_batches, num_threads):
             if stop.is_set():
                 return
-            q.put((bi, make_batch(bi)))
+            item = (bi, make_batch(bi))
+            # bounded put that re-checks stop: a consumer that abandons
+            # the generator early (partial eval) sets stop in its finally,
+            # but a plain q.put on the full queue would block forever,
+            # stranding the thread and its decoded batch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     threads = [
         threading.Thread(target=worker, args=(t,), daemon=True)

@@ -99,9 +99,13 @@ def _rotate(img, level, sign):
 
 def _posterize(img, level, sign):
     bits = 4 - (level / _MAX_LEVEL * 4).astype(jnp.int32)
+    # shift by min(8-bits, 7) then zero the bits==0 case explicitly:
+    # uint8 shifts of >=8 are undefined, but PIL posterize(img, 0) is an
+    # all-zero image, not top-bit-only
     shift = jnp.clip(8 - bits, 0, 7).astype(jnp.uint8)
     vals = img.astype(jnp.uint8)
     out = jnp.left_shift(jnp.right_shift(vals, shift), shift)
+    out = jnp.where(bits <= 0, jnp.zeros_like(out), out)
     return out.astype(jnp.float32)
 
 

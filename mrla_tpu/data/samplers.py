@@ -24,7 +24,12 @@ def distributed_indices(
     else:
         order = np.arange(n)
     total = int(math.ceil(n / world_size)) * world_size
-    order = np.concatenate([order, order[: total - n]])
+    # torch DistributedSampler repeats the whole index list as many times
+    # as padding needs — order[:total-n] under-pads when total-n > n
+    # (dataset smaller than world_size), giving ranks RAGGED shard sizes
+    # and a collective hang in SPMD training
+    reps = int(math.ceil(total / n))
+    order = np.tile(order, reps)[:total]
     return order[rank:total:world_size]
 
 
@@ -40,7 +45,8 @@ def ra_sampler_indices(
     order = g.permutation(n)
     repeated = np.repeat(order, num_repeats)
     total = int(math.ceil(len(repeated) / world_size)) * world_size
-    repeated = np.concatenate([repeated, repeated[: total - len(repeated)]])
+    reps = int(math.ceil(total / len(repeated)))
+    repeated = np.tile(repeated, reps)[:total]  # same tiling as above
     sel = repeated[rank:total:world_size]
     # deit/samplers.py:35: floor(len(dataset) // 256 * 256 / num_replicas) —
     # integer-truncate to a 256 multiple FIRST, then split across ranks.

@@ -186,6 +186,12 @@ def mrla_block_tail_hwbc(
     it = jnp.transpose(identity, (1, 2, 0, 3))
 
     btile = min(bsz, 64)
+    if bsz % btile != 0:
+        # the kernel loops b_full // btile batch tiles — a non-multiple
+        # would silently leave the trailing images' output uninitialized
+        raise ValueError(
+            f"batch {bsz} must be a multiple of the batch tile {btile}"
+        )
     col_shape = (3, h, 1, btile, ct)
     full = lambda: pl.BlockSpec(
         (h, w, bsz, c), lambda i: (0, 0, 0, 0), memory_space=pltpu.ANY

@@ -152,7 +152,7 @@ class VisionTransformer(nn.Module):
         tokens = PatchEmbed(self.patch_size, c, self.dtype, name="patch_embed")(x)
         n_patches = tokens.shape[1]
 
-        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, c))
+        cls = self.param("cls_token", TRUNC02, (1, 1, c))
         parts = [jnp.broadcast_to(cls.astype(tokens.dtype), (b, 1, c))]
         if self.distilled:
             dist = self.param("dist_token", TRUNC02, (1, 1, c))
@@ -183,7 +183,7 @@ class VisionTransformer(nn.Module):
         x = layer_norm(self.dtype, "norm")(x)
         head = nn.Dense(
             self.num_classes,
-            kernel_init=nn.initializers.zeros,
+            kernel_init=TRUNC02,
             dtype=self.dtype,
             name="head",
         )
@@ -191,7 +191,7 @@ class VisionTransformer(nn.Module):
             out = head(x[:, 0])
             out_dist = nn.Dense(
                 self.num_classes,
-                kernel_init=nn.initializers.zeros,
+                kernel_init=TRUNC02,
                 dtype=self.dtype,
                 name="head_dist",
             )(x[:, 1])

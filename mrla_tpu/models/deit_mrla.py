@@ -147,7 +147,7 @@ class ViTMRLA(nn.Module):
         tokens = PatchEmbed(self.patch_size, c, self.dtype, name="patch_embed")(x)
         n_patches = tokens.shape[1]
 
-        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, c))
+        cls = self.param("cls_token", TRUNC02, (1, 1, c))
         x = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(tokens.dtype), (b, 1, c)), tokens], axis=1
         )
@@ -183,7 +183,7 @@ class ViTMRLA(nn.Module):
         x = layer_norm(self.dtype, "norm")(x)
         out = nn.Dense(
             self.num_classes,
-            kernel_init=nn.initializers.zeros,
+            kernel_init=TRUNC02,
             dtype=self.dtype,
             name="head",
         )(x[:, 0])

@@ -131,3 +131,18 @@ def test_imagefolder_loader(tmp_path):
 def test_synthetic_batches():
     bs = list(synthetic_batches(4, 32, 10, steps=2))
     assert len(bs) == 2 and bs[0]["image"].shape == (4, 32, 32, 3)
+
+
+def test_distributed_indices_dataset_smaller_than_world():
+    """torch DistributedSampler repeats the index list to cover any padding
+    — with n < world_size every rank must still get the same shard size."""
+    from mrla_tpu.data.samplers import distributed_indices
+
+    sizes = set()
+    seen = []
+    for rank in range(8):
+        idx = distributed_indices(2, rank, 8, epoch=0, shuffle=True)
+        sizes.add(len(idx))
+        seen.extend(idx.tolist())
+    assert sizes == {1}
+    assert set(seen) == {0, 1}  # only real indices, repeated

@@ -27,8 +27,8 @@ def test_deit_engine_matches_flax(arch):
     model32 = create_model(arch, num_classes=31)
     variables = model32.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)),
                              train=False)
-    # the DeiT head is zero-init (parity quirk) — randomize it so the logit
-    # comparison actually exercises the trunk features
+    # randomize the head at a larger scale so the logit comparison
+    # exercises the trunk features strongly
     params = jax.tree_util.tree_map(lambda a: a, variables["params"])
 
     def randomize_heads(node):
@@ -52,8 +52,7 @@ def test_deit_engine_matches_flax(arch):
     ref16 = model.apply(variables, x.astype(jnp.bfloat16), train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref16),
                                atol=0.08, rtol=0.05)
-    # fp32 sanity: same ranking on a zero-init head is vacuous, so instead
-    # check magnitudes stay close (head kernel is zero-init -> logits ~ bias)
+    # fp32 sanity: magnitudes stay close through the bf16 trunk
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref32), atol=0.15)
 
 
@@ -71,8 +70,7 @@ def test_precast_engine_efficientnet():
     model32 = create_model(arch, num_classes=17)
     variables = model32.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)),
                              train=False)
-    # classifier is zero-init (reference parity quirk) — randomize it so the
-    # logit comparison exercises the trunk
+    # widen the classifier so the logit comparison exercises the trunk
     params = jax.device_get(variables["params"])
     params["classifier"]["kernel"] = jnp.asarray(
         rng.standard_normal(params["classifier"]["kernel"].shape) * 0.05,

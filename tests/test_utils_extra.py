@@ -22,16 +22,15 @@ def test_distillation_soft_matches_torch():
     t = rng.standard_normal((4, 10)).astype(np.float32)
     tau, alpha, base = 3.0, 0.5, 1.7
 
-    # torch reference formulation (deit/losses.py soft branch):
-    # KL(log_softmax(s/τ) || softmax(t/τ)) · τ² / numel * ... — deit uses
-    # F.kl_div(..., reduction='sum') * τ² / N
+    # torch reference formulation (deit/losses.py:54-63 soft branch):
+    # F.kl_div(..., reduction='sum') * τ² / numel — numel = B*K ("legacy
+    # PyTorch behavior" per the reference's own comment)
     st, tt = torch.from_numpy(s), torch.from_numpy(t)
     kl = F.kl_div(
         F.log_softmax(st / tau, dim=1), F.log_softmax(tt / tau, dim=1),
         reduction="sum", log_target=True,
-    ) * (tau * tau) / st.numel() * st.shape[1]
-    # per-sample mean form used in our impl
-    want = base * (1 - alpha) + float(kl) / 1.0 * alpha
+    ) * (tau * tau) / st.numel()
+    want = base * (1 - alpha) + float(kl) * alpha
 
     got = float(distillation_loss(jnp.float32(base), jnp.asarray(s), jnp.asarray(t),
                                   kind="soft", alpha=alpha, tau=tau))
