@@ -21,10 +21,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _upsample_nearest_2x(x: jax.Array) -> jax.Array:
+def _upsample_nearest_to(x: jax.Array, h_out: int, w_out: int) -> jax.Array:
+    """Nearest upsample to an EXACT target size (MMDet uses
+    F.interpolate(size=prev_shape): with odd feature sizes — e.g. the
+    presets' own 1333px side gives C2..C5 = 334/167/84/42 — a hard 2x
+    would produce 168 vs the 167 lateral and crash the add)."""
     b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, 2 * h, 2 * w, c)
+    if (h_out, w_out) == (2 * h, 2 * w):
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        return x.reshape(b, 2 * h, 2 * w, c)
+    rows = jnp.floor(jnp.arange(h_out) * (h / h_out)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(w_out) * (w / w_out)).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
 
 
 class FPN(nn.Module):
@@ -46,9 +54,12 @@ class FPN(nn.Module):
             )
             for i in range(n)
         ]
-        # top-down pathway
+        # top-down pathway (size-matched, like mmdet's interpolate(size=...))
         for i in range(n - 1, 0, -1):
-            laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(laterals[i])
+            _, th, tw, _ = laterals[i - 1].shape
+            laterals[i - 1] = laterals[i - 1] + _upsample_nearest_to(
+                laterals[i], th, tw
+            )
 
         outs = [
             nn.Conv(
@@ -58,6 +69,9 @@ class FPN(nn.Module):
             for i in range(n)
         ]
 
+        # honor num_outs < pyramid depth by trimming (mmdet reduces
+        # backbone_end_level; either way exactly num_outs levels return)
+        outs = outs[: self.num_outs]
         # extra levels
         while len(outs) < self.num_outs:
             if self.add_extra_convs is None:

@@ -41,7 +41,12 @@ def profile_model(name: str, input_shape=(1, 224, 224, 3), **model_kw) -> dict:
         "params": n_params,
         "params_m": round(n_params / 1e6, 3),
         "flops": flops,
-        "gflops": round(flops / 1e9, 3) if flops == flops else None,
+        # None (no cost analysis on this backend) and NaN both -> None
+        "gflops": (
+            round(flops / 1e9, 3)
+            if flops is not None and flops == flops
+            else None
+        ),
     }
 
 

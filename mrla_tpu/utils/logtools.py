@@ -53,7 +53,9 @@ def txt_to_csv(run_dir: str, out_path: str, metrics=("train_loss", "val_acc1",
         if os.path.exists(p):
             with open(p) as f:
                 series[m] = {
-                    int(l.split()[0]): float(l.split()[1]) for l in f if l.strip()
+                    int(p[0]): float(p[1])
+                    for p in (l.split() for l in f)
+                    if len(p) >= 2  # skip stray short lines, like best_from_txt
                 }
     epochs = sorted(set().union(*[s.keys() for s in series.values()])) if series else []
     with open(out_path, "w", newline="") as f:
@@ -84,7 +86,11 @@ def plot_curves(run_dir: str, out_path: str,
         if not os.path.exists(p):
             continue
         with open(p) as f:
-            pts = [(int(l.split()[0]), float(l.split()[1])) for l in f if l.strip()]
+            pts = [
+                (int(p[0]), float(p[1]))
+                for p in (l.split() for l in f)
+                if len(p) >= 2
+            ]
         if pts:
             xs, ys = zip(*sorted(pts))
             ax.plot(xs, ys)

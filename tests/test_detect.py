@@ -107,3 +107,29 @@ def test_load_backbone_from_classification():
     with _pytest.raises(KeyError):
         load_backbone_from_classification(jax.device_get(det_vars),
                                           jax.device_get(broken))
+
+
+def test_fpn_odd_feature_sizes():
+    """MMDet interpolates the top-down path to the EXACT lateral size; odd
+    feature maps (the presets' own 1333px side gives 334/167/84/42) must
+    not crash the lateral add."""
+    fpn = FPN(out_channels=8)
+    feats = [
+        jnp.zeros((1, 334, 167, 16)),
+        jnp.zeros((1, 167, 84, 32)),
+        jnp.zeros((1, 84, 42, 64)),
+        jnp.zeros((1, 42, 21, 128)),
+    ]
+    v = fpn.init(jax.random.key(0), feats)
+    outs = fpn.apply(v, feats)
+    assert [o.shape[1:3] for o in outs] == [
+        (334, 167), (167, 84), (84, 42), (42, 21), (21, 11)
+    ]
+
+
+def test_fpn_num_outs_trim():
+    fpn = FPN(out_channels=8, num_outs=3)
+    feats = [jnp.zeros((1, 2 ** (5 - i), 2 ** (5 - i), 8)) for i in range(4)]
+    v = fpn.init(jax.random.key(0), feats)
+    outs = fpn.apply(v, feats)
+    assert len(outs) == 3

@@ -60,7 +60,11 @@ def test_reset_classifier():
               "block0": {"w": jnp.ones((3, 3))}}
     out = reset_classifier(params, 21, jax.random.key(0))
     assert out["head"]["kernel"].shape == (8, 21)
-    assert float(out["head"]["kernel"].sum()) == 0.0
+    # reference fine-tune keeps the model's fresh head init: trunc-normal
+    # std 0.02 weight, zero bias (not an all-zero head)
+    k = np.asarray(out["head"]["kernel"])
+    assert 0.005 < k.std() < 0.04 and abs(k).max() <= 0.04 + 1e-6
+    assert float(np.abs(np.asarray(out["head"]["bias"])).sum()) == 0.0
     np.testing.assert_array_equal(np.asarray(out["block0"]["w"]), np.ones((3, 3)))
 
 
@@ -93,3 +97,21 @@ def test_count_params_and_logtools(tmp_path):
     assert best_from_jsonl(str(run / "log.txt"))["epoch"] == 1
     n = txt_to_csv(str(run), str(tmp_path / "out.csv"))
     assert n == 3
+
+
+def test_interpolate_pos_embed_matches_torch_bicubic():
+    """Pos-embed interpolation must be torch-EXACT: F.interpolate bicubic
+    uses the A=-0.75 cubic convolution (deit/main.py:283), while
+    jax.image.resize bicubic is the Keys A=-0.5 kernel — the difference is
+    O(1e-2) relative and breaks converted-checkpoint parity."""
+    rng = np.random.default_rng(0)
+    grid = rng.standard_normal((1, 1 + 14 * 14, 16)).astype(np.float32)
+
+    got = np.asarray(interpolate_pos_embed(jnp.asarray(grid), 24 * 24))
+
+    pt = torch.from_numpy(grid[:, 1:].reshape(1, 14, 14, 16).transpose(0, 3, 1, 2))
+    want_grid = F.interpolate(pt, size=(24, 24), mode="bicubic",
+                              align_corners=False)
+    want = want_grid.permute(0, 2, 3, 1).reshape(1, 24 * 24, 16).numpy()
+    np.testing.assert_allclose(got[:, 1:], want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[:, 0], grid[:, 0])
