@@ -58,23 +58,26 @@ def bench_mrlab(microbatches):
     )
 
     for mb in microbatches:
-        @jax.jit
-        def run_many(sp, x, mb=mb):
-            def body(carry, _):
-                p = dict(sp)
-                stem = [dict(s) for s in p["stem"]]
-                stem[0]["b"] = stem[0]["b"] + (carry * 1e-20).astype(
-                    stem[0]["b"].dtype
-                )
-                p["stem"] = stem
-                logits = resnet_mrlab_forward(p, x, microbatch=mb)
-                return jnp.sum(logits[:, 0]).astype(jnp.float32), None
+        for use_scan in (False, True):
+            @jax.jit
+            def run_many(sp, x, mb=mb, use_scan=use_scan):
+                def body(carry, _):
+                    p = dict(sp)
+                    stem = [dict(s) for s in p["stem"]]
+                    stem[0]["b"] = stem[0]["b"] + (carry * 1e-20).astype(
+                        stem[0]["b"].dtype
+                    )
+                    p["stem"] = stem
+                    logits = resnet_mrlab_forward(p, x, microbatch=mb,
+                                                  use_scan=use_scan)
+                    return jnp.sum(logits[:, 0]).astype(jnp.float32), None
 
-            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
-            return carry
+                carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                        length=ITERS)
+                return carry
 
-        print(f"mrlab mb={mb}: {timeit(run_many, sp, x):.1f} img/s",
-              flush=True)
+            print(f"mrlab mb={mb} scan={use_scan}: "
+                  f"{timeit(run_many, sp, x):.1f} img/s", flush=True)
 
 
 def bench_deit(microbatches, arch="deit_mrlal_small_patch16_224"):
