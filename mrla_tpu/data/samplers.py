@@ -18,6 +18,8 @@ import numpy as np
 def distributed_indices(
     n: int, rank: int, world_size: int, epoch: int, shuffle: bool = True, seed: int = 0
 ) -> np.ndarray:
+    if n == 0:
+        return np.arange(0)
     if shuffle:
         g = np.random.default_rng(seed + epoch)
         order = g.permutation(n)
@@ -41,6 +43,8 @@ def ra_sampler_indices(
     num_repeats: int = 3,
     seed: int = 0,
 ) -> np.ndarray:
+    if n == 0:
+        return np.arange(0)
     g = np.random.default_rng(seed + epoch)
     order = g.permutation(n)
     repeated = np.repeat(order, num_repeats)

@@ -46,6 +46,11 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, inputs: Sequence[jax.Array]) -> tuple[jax.Array, ...]:
         used = list(inputs[self.start_level:])
+        # mmdet end_level semantics: with num_outs < pyramid depth the top
+        # levels are excluded ENTIRELY (no lateral/output conv params, no
+        # top-down contribution) — not built-then-trimmed.
+        if self.num_outs < len(used):
+            used = used[: self.num_outs]
         n = len(used)
 
         laterals = [
@@ -69,9 +74,6 @@ class FPN(nn.Module):
             for i in range(n)
         ]
 
-        # honor num_outs < pyramid depth by trimming (mmdet reduces
-        # backbone_end_level; either way exactly num_outs levels return)
-        outs = outs[: self.num_outs]
         # extra levels
         while len(outs) < self.num_outs:
             if self.add_extra_convs is None:

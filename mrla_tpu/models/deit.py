@@ -241,3 +241,20 @@ def deit_small_distilled_patch16_224(**kw):
 @register_model
 def deit_base_distilled_patch16_224(**kw):
     return _vit(768, 12, 12, distilled=True, **kw)
+
+
+@register_model
+def deit_base_patch16_384(**kw):
+    # /root/reference/deit/models.py:152-165: identical base config at
+    # img_size=384 (577 pos-embed positions; our pos_embed is sized from the
+    # actual input so 224-ckpt -> 384 finetune goes through
+    # utils/finetune.py's bicubic interpolation).
+    kw.setdefault("img_size", 384)
+    return _vit(768, 12, 12, **kw)
+
+
+@register_model
+def deit_base_distilled_patch16_384(**kw):
+    # /root/reference/deit/models.py:167-179
+    kw.setdefault("img_size", 384)
+    return _vit(768, 12, 12, distilled=True, **kw)

@@ -68,7 +68,13 @@ def reset_classifier(params: Dict, num_classes: int, rng: jax.Array,
     """Fresh classification head(s) for a new class count.  The reference
     fine-tune deletes mismatched head keys and keeps the model's fresh
     init (deit/main.py:268-272 + load_state_dict(strict=False)), which is
-    trunc-normal(0.02) weight / zero bias — match that, not zeros."""
+    trunc-normal(0.02) weight / zero bias — match that, not zeros.
+
+    Init-statistics note (same TRUNC02 convention as the rest of the repo):
+    jax.random.truncated_normal(-2, 2) * 0.02 truncates at ±2σ in UNIT space
+    (effective std ≈ 0.0176) while timm's trunc_normal_(std=.02, a=-2, b=2)
+    cuts at ±2 in VALUE space (±100σ — effectively untruncated, std 0.02).
+    A ~12% std difference on a freshly trained head; accepted deviation."""
     import flax
 
     flat = flax.traverse_util.flatten_dict(params)

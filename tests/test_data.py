@@ -73,6 +73,12 @@ def test_distributed_indices_partition():
     assert set(union.tolist()) == set(range(103))  # covers all (with pad dups)
 
 
+def test_samplers_empty_dataset():
+    """n == 0 returns an empty shard instead of ZeroDivisionError (ADVICE r2)."""
+    assert len(distributed_indices(0, 0, 4, epoch=0)) == 0
+    assert len(ra_sampler_indices(0, 1, 4, epoch=0)) == 0
+
+
 def test_ra_sampler_semantics():
     n, world = 1024, 4
     parts = [ra_sampler_indices(n, r, world, epoch=0) for r in range(world)]

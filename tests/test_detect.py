@@ -128,8 +128,125 @@ def test_fpn_odd_feature_sizes():
 
 
 def test_fpn_num_outs_trim():
+    """mmdet end_level semantics (ADVICE r2): with num_outs < pyramid depth
+    the excluded top levels get NO lateral/output conv params and feed no
+    top-down contribution."""
     fpn = FPN(out_channels=8, num_outs=3)
     feats = [jnp.zeros((1, 2 ** (5 - i), 2 ** (5 - i), 8)) for i in range(4)]
     v = fpn.init(jax.random.key(0), feats)
     outs = fpn.apply(v, feats)
     assert len(outs) == 3
+    conv_names = set(v["params"])
+    assert "lateral3" not in conv_names and "fpn_conv3" not in conv_names
+    # excluded level does not contribute: changing feats[3] changes nothing
+    feats2 = list(feats)
+    feats2[3] = feats2[3] + 100.0
+    outs2 = fpn.apply(v, feats2)
+    for a, b in zip(outs, outs2):
+        assert jnp.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Executed-reference parity for the MMDetection backbone (VERDICT r2 next-2):
+# the mmdet ResNet_mrlal differs from the classification model (no DropPath
+# in the epilogue :86,:116; frozen-stage semantics :307-323; norm_eval BN
+# freeze :358-367) — execute the reference via tests/mmcv_shim.py and
+# require C2..C5 feature parity through convert_resnet_state_dict.
+# ---------------------------------------------------------------------------
+
+
+def _mmdet_pair(layers=(1, 1, 1, 1), seed=0, **ref_kw):
+    import torch
+
+    from tests.mmcv_shim import load_reference_backbone
+
+    from mrla_tpu.ckpt import convert_resnet_state_dict
+    from mrla_tpu.models.resnet_mrla_light import ResNetMRLALight
+
+    ref = load_reference_backbone()
+    torch.manual_seed(seed)
+    tm = ref.ResNet_mrlal(layers=list(layers), **ref_kw)
+    # randomize BN running stats so frozen-BN parity is non-trivial
+    g = torch.Generator().manual_seed(seed + 1)
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.3)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    fm = ResNetMRLALight(layers=list(layers), features_only=True,
+                         use_drop_path=False)
+    variables = jax.tree.map(
+        jnp.asarray, convert_resnet_state_dict(tm.state_dict())
+    )
+    return tm, fm, variables
+
+
+def _pyramid_allclose(got, want_torch):
+    import numpy as np
+
+    assert len(got) == len(want_torch) == 4
+    for g, w in zip(got, want_torch):
+        w = np.transpose(w.numpy(), (0, 2, 3, 1))  # NCHW -> NHWC
+        np.testing.assert_allclose(np.asarray(g), w, rtol=2e-3, atol=3e-4)
+
+
+def test_mmdet_backbone_eval_parity():
+    import numpy as np
+    import torch
+
+    tm, fm, variables = _mmdet_pair()
+    tm.eval()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    _pyramid_allclose(got, want)
+
+
+def test_mmdet_backbone_norm_eval_train_mode_parity():
+    """norm_eval=True (the configs' default): .train() keeps every BN in
+    eval mode (resnet_mrlal.py:358-367), so the reference's TRAIN-mode
+    forward equals our train=False apply (the mmdet epilogue has no
+    DropPath and the backbone has no dropout)."""
+    import numpy as np
+    import torch
+
+    tm, fm, variables = _mmdet_pair(seed=3, norm_eval=True)
+    tm.train()  # triggers the norm_eval BN re-freeze
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    _pyramid_allclose(got, want)
+
+
+def test_mmdet_frozen_stages_matches_reference_requires_grad():
+    """freeze_mask reproduces the reference's _freeze_stages requires_grad
+    pattern (resnet_mrlal.py:307-323): frozen_stages=k freezes conv1/bn1
+    and layer1..layerk."""
+    import flax
+
+    for frozen in (-1, 0, 1, 2):
+        tm, fm, variables = _mmdet_pair(seed=5, frozen_stages=frozen)
+        tm.train()  # _freeze_stages runs inside .train()
+
+        want = {}  # torch: name -> requires_grad
+        for name, p in tm.named_parameters():
+            want[name] = p.requires_grad
+
+        mask = freeze_mask({"backbone": variables["params"]}, frozen)
+        flat = flax.traverse_util.flatten_dict(mask["backbone"])
+
+        def torch_name(key):
+            # ("stem","conv1","kernel") -> conv1 ; ("layer2_0","conv1",...)
+            if key[0] == "stem":
+                return {"conv1": "conv1", "bn1": "bn1"}[key[1]]
+            stage, block = key[0].split("_")
+            return f"layer{stage[len('layer'):]}.{block}"
+
+        for key, trainable in flat.items():
+            prefix = torch_name(key)
+            ref_vals = {v for n, v in want.items() if n.startswith(prefix)}
+            assert len(ref_vals) == 1, (prefix, ref_vals)
+            assert trainable == ref_vals.pop(), (key, frozen)

@@ -41,6 +41,62 @@ def test_efficientnet_b0_stage_shapes_and_flops():
     assert flops is not None and 0.65e9 < flops < 0.95e9, flops
 
 
+def test_efficientnet_mrlal_b0_placement_and_param_delta():
+    """Pin the re-derived mrlal variant the same way the b0 baseline is
+    pinned (no reference source exists — SURVEY §0): MRLA-light lands on
+    exactly the residual-capable MBConv blocks (stride 1, in==out, i.e.
+    every non-first block of each stage: 9 of 16 blocks), and the param
+    delta vs plain b0 equals the closed-form MRLA+bn_mrla cost per block:
+    2k (wq,wk conv1d taps, ECA heuristic) + 9C (dw3x3 value) + C (lambda)
+    + 2C (bn_mrla scale/bias)."""
+    from mrla_tpu.ops.common import eca_kernel_size
+
+    mb = create_model("efficientnet_mrlal_b0", num_classes=1000)
+    m0 = create_model("efficientnet_b0", num_classes=1000)
+    vb = mb.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)), train=False)
+    v0 = m0.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)), train=False)
+
+    # placement: exactly the residual blocks (bi > 0 in every stage)
+    repeats = [1, 2, 2, 3, 3, 4, 1]
+    chans = [16, 24, 40, 80, 112, 192, 320]
+    expect_blocks = {
+        f"stage{si}_{bi}"
+        for si, rep in enumerate(repeats)
+        for bi in range(1, rep)
+    }
+    have_blocks = {
+        name for name in vb["params"] if "mrla" in vb["params"].get(name, {})
+    }
+    assert have_blocks == expect_blocks, (have_blocks, expect_blocks)
+    assert len(expect_blocks) == 9
+
+    # closed-form param delta
+    count = lambda v: sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v))
+    delta = count(vb["params"]) - count(v0["params"])
+    expect_delta = sum(
+        (rep - 1) * (2 * eca_kernel_size(c) + 9 * c + c + 2 * c)
+        for rep, c in zip(repeats, chans)
+    )
+    assert delta == expect_delta, (delta, expect_delta)
+
+    # per-block shape pins on one representative stage (C=112, k from the
+    # ECA heuristic)
+    p = vb["params"]["stage4_1"]["mrla"]["mrla"]["proj"]
+    k = eca_kernel_size(112)
+    assert p["wq"].shape == (k,) and p["wk"].shape == (k,)
+    assert p["wv"].shape == (3, 3, 1, 112)
+    assert vb["params"]["stage4_1"]["mrla"]["lambda_t"].shape == (112,)
+
+    # FLOPs delta: MRLA is lightweight — under 3% on top of b0's ~0.78 GF
+    from mrla_tpu.utils.flops import count_flops
+
+    f0 = count_flops(m0, (1, 224, 224, 3), variables=v0)
+    fb = count_flops(mb, (1, 224, 224, 3), variables=vb)
+    if f0 is not None and fb is not None:
+        assert fb > f0, (fb, f0)
+        assert (fb - f0) / f0 < 0.03, (fb, f0)
+
+
 def test_efficientnet_mrlal_b0_runs():
     m = create_model("efficientnet_mrlal_b0", num_classes=10)
     v = m.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)), train=False)
