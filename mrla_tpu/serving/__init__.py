@@ -9,6 +9,10 @@ lose in-model — see ROADMAP.md perf ledger).  `make_sharded_forward` scales
 any engine over a device mesh; `cli.py` is the user-facing eval entry.
 """
 
+from mrla_tpu.serving.detect import (
+    detect_forward,
+    prepare_detect_params,
+)
 from mrla_tpu.serving.deit import (
     deit_forward,
     precast_forward,
@@ -27,6 +31,8 @@ from mrla_tpu.serving.sharded import make_sharded_forward
 
 __all__ = [
     "deit_forward",
+    "detect_forward",
+    "prepare_detect_params",
     "make_sharded_forward",
     "precast_forward",
     "prepare_deit_inference_params",

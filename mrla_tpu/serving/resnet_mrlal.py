@@ -57,9 +57,13 @@ def _bn_affine(bn):
 
 
 def prepare_inference_params(
-    variables: Dict, layers: Sequence[int] = (3, 4, 6, 3), dtype=jnp.bfloat16
+    variables: Dict, layers: Sequence[int] = (3, 4, 6, 3), dtype=jnp.bfloat16,
+    with_head: bool = True,
 ) -> Dict:
-    """Fold BNs and pre-cast; returns a flat serving param tree."""
+    """Fold BNs and pre-cast; returns a flat serving param tree.
+
+    with_head=False serves a features_only tree (detection backbone — no
+    fc)."""
     params = variables["params"]
     stats = variables["batch_stats"]
 
@@ -136,10 +140,11 @@ def prepare_inference_params(
             blk["bn_bias"] = jnp.asarray(b, jnp.float32)
             out["blocks"].append(blk)
 
-    out["fc"] = {
-        "k": jnp.asarray(params["head"]["fc"]["kernel"], dtype),
-        "b": jnp.asarray(params["head"]["fc"]["bias"], jnp.float32),
-    }
+    if with_head:
+        out["fc"] = {
+            "k": jnp.asarray(params["head"]["fc"]["kernel"], dtype),
+            "b": jnp.asarray(params["head"]["fc"]["bias"], jnp.float32),
+        }
     return out
 
 
@@ -261,17 +266,20 @@ def resnet_mrlal_forward(
     return _forward_impl(serving_params, x, layers, dim_perhead, use_pallas)
 
 
-def _forward_impl(
+def _trunk_impl(
     serving_params: Dict,
     x: jax.Array,
     layers: Sequence[int],
     dim_perhead: int,
     use_pallas: bool,
-) -> jax.Array:
+):
+    """Stem + all blocks; returns the per-stage outputs [C2, C3, C4, C5]."""
     strides = []
+    stage_last = []
     for stage_idx, blocks in enumerate(layers):
         for block_idx in range(blocks):
             strides.append(2 if (stage_idx > 0 and block_idx == 0) else 1)
+        stage_last.append(len(strides) - 1)
 
     x = x.astype(serving_params["stem"]["k"].dtype)
     y = _stem(x, serving_params["stem"])
@@ -283,11 +291,28 @@ def _forward_impl(
             "were given different depths"
         )
     x1_pre = None
+    outs = []
     for i, (p, stride) in enumerate(zip(blocks, strides)):
         heads = p["lam"].shape[0] // dim_perhead
         p_next = blocks[i + 1] if i + 1 < len(blocks) else None
         y, x1_pre = _block(y, p, stride, heads, use_pallas,
                            x1_pre=x1_pre, p_next=p_next)
+        # the fused-next-conv1 handoff stays valid across stage boundaries:
+        # conv1 is stride-1 and consumes exactly this stage output y, which
+        # is also exported/used for the next block's downsample identity
+        if i in stage_last:
+            outs.append(y)
+    return outs
+
+
+def _forward_impl(
+    serving_params: Dict,
+    x: jax.Array,
+    layers: Sequence[int],
+    dim_perhead: int,
+    use_pallas: bool,
+) -> jax.Array:
+    y = _trunk_impl(serving_params, x, layers, dim_perhead, use_pallas)[-1]
     pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
     fc = serving_params["fc"]
     return pooled @ fc["k"].astype(jnp.float32) + fc["b"]

@@ -60,7 +60,10 @@ from mrla_tpu.train.schedules import (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("mrla_tpu trainer")
     p.add_argument("-a", "--arch", default="resnet50_mrlal", choices=list_models())
-    p.add_argument("--data", default="synthetic", help="ImageFolder root or 'synthetic'")
+    p.add_argument("--data", default="synthetic",
+                   help="ImageFolder root, 'synthetic' (noise), or "
+                        "'synthetic-learnable' (class-template task the "
+                        "on-chip smokes assert learning on)")
     p.add_argument("--num-classes", type=int, default=1000)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("-b", "--batch-size", type=int, default=256, help="global batch")
@@ -164,7 +167,14 @@ def main(argv=None) -> dict:
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model_kw = dict(num_classes=args.num_classes, dtype=dtype)
     if args.drop_path:
-        model_kw["drop_path"] = args.drop_path
+        # timm-lineage families name the model-level knob drop_path_rate
+        # (per-depth schedule); the resnet family takes a flat drop_path
+        timm_style = args.arch.startswith(
+            ("deit", "resmlp", "patchconvnet", "efficientnet")
+        )
+        model_kw["drop_path_rate" if timm_style else "drop_path"] = (
+            args.drop_path
+        )
     if args.drop_rate:
         model_kw["drop_rate"] = args.drop_rate
     model = create_model(args.arch, **model_kw)
@@ -178,7 +188,8 @@ def main(argv=None) -> dict:
         else "bilinear"
     )
 
-    synthetic = args.data == "synthetic"
+    synthetic = args.data in ("synthetic", "synthetic-learnable")
+    syn_learnable = args.data == "synthetic-learnable"
     if synthetic:
         steps_per_epoch = args.synthetic_steps
         train_ds = val_ds = None
@@ -321,7 +332,8 @@ def main(argv=None) -> dict:
         if synthetic:
             for b in synthetic_batches(args.batch_size, args.image_size,
                                        args.num_classes, steps_per_epoch,
-                                       seed=args.seed + epoch):
+                                       seed=args.seed + epoch,
+                                       learnable=syn_learnable):
                 # synthetic batches are generated identically on every
                 # process; take this rank's contiguous slice.
                 lo = rank * local_batch
@@ -360,7 +372,8 @@ def main(argv=None) -> dict:
 
             def gen():
                 for b in synthetic_batches(args.batch_size, args.image_size,
-                                           args.num_classes, 2, seed=123):
+                                           args.num_classes, 2, seed=123,
+                                           learnable=syn_learnable):
                     lo = rank * local_batch
                     yield {k: v[lo:lo + local_batch] for k, v in b.items()}
             batches = gen()

@@ -5,6 +5,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax import struct
 from flax.training import train_state
@@ -39,12 +40,18 @@ def create_train_state(
         variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    # EMA trees start equal to the live trees but must be DISTINCT buffers:
+    # a donating jit (train/cli.py) rejects the same buffer appearing twice
+    # in one argument list ("attempt to donate the same buffer twice").
+    copy = lambda tree: jax.tree.map(lambda a: jnp.array(a), tree)
     return TrainState.create(
         apply_fn=model.apply,
         params=params,
         tx=tx,
         batch_stats=batch_stats,
-        ema_params=params if ema_decay > 0 else None,
-        ema_batch_stats=batch_stats if (ema_decay > 0 and batch_stats) else None,
+        ema_params=copy(params) if ema_decay > 0 else None,
+        ema_batch_stats=(
+            copy(batch_stats) if (ema_decay > 0 and batch_stats) else None
+        ),
         ema_decay=ema_decay,
     )

@@ -201,6 +201,62 @@ def bench_detect(preset="faster_rcnn_r50mrlal_fpn_1x_coco"):
           flush=True)
 
 
+def bench_detect_serving(preset="faster_rcnn_r50mrlal_fpn_1x_coco",
+                         microbatches=(0, 1, 2, 4)):
+    """Optimized detection export (serving/detect.py: BN-folded trunk +
+    bf16 FPN) with a microbatch sweep, same COCO-size harness as
+    bench_detect."""
+    from mrla_tpu.detect.configs import PRESETS, build_backbone_fpn
+    from mrla_tpu.serving import detect_forward, prepare_detect_params
+
+    p = PRESETS[preset]
+    B, H, W = 8, 800, 1344
+    iters = 40
+    model = build_backbone_fpn(preset)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False)
+    )(jax.random.key(0), jnp.zeros((1, H, W, 3), jnp.float32))
+    sp = prepare_detect_params(
+        jax.device_get(variables), layers=tuple(p.backbone_layers),
+        dtype=jnp.bfloat16,
+    )
+    x = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).standard_normal((B, H, W, 3)),
+            jnp.bfloat16,
+        )
+    )
+
+    for mb in microbatches:
+        @jax.jit
+        def run_many(sp, x, mb=mb):
+            def body(carry, _):
+                xx = x + (carry * 1e-20).astype(x.dtype)
+                feats = detect_forward(
+                    sp, xx, layers=tuple(p.backbone_layers),
+                    num_outs=p.num_outs, start_level=p.start_level,
+                    add_extra_convs=p.add_extra_convs, microbatch=mb,
+                )
+                s = sum(
+                    jnp.sum(f[:, 0, 0, 0].astype(jnp.float32)) for f in feats
+                )
+                return s, None
+
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=iters)
+            return carry
+
+        float(run_many(sp, x))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run_many(sp, x))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        print(f"{preset} SERVING mb={mb} (bs{B} {H}x{W} bf16): "
+              f"{B * iters / dt:.1f} img/s", flush=True)
+
+
 def bench_loader(n=512, size=224):
     """Host input pipeline: native C++ libjpeg batch decoder vs PIL, img/s
     (the BASELINE.json jpeg-decode-path requirement)."""
@@ -249,5 +305,7 @@ if __name__ == "__main__":
         bench_mrlal101(mbs)
     if what in ("detect", "all"):
         bench_detect()
+    if what in ("detect_serving",):
+        bench_detect_serving(microbatches=tuple(mbs) if sys.argv[2:] else (0, 1, 2, 4))
     if what in ("loader",):
         bench_loader()

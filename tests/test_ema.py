@@ -109,3 +109,24 @@ def test_ema_eval_without_ema_state_fails_loudly():
     )
     with pytest.raises(ValueError, match="ema"):
         make_eval_step(use_ema=True)(state, _batch(0))
+
+
+def test_ema_state_survives_donating_jit():
+    """create_train_state must give EMA trees DISTINCT buffers: the CLI's
+    donating train step (train/cli.py donate_argnums=(0,)) faults with
+    "attempt to donate the same buffer twice" when ema_params aliases
+    params (caught by the round-3 full-recipe on-chip smoke)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mrla_tpu.train import create_train_state, make_train_step
+
+    model = _ToyBN()
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((2, 8, 8, 3)),
+        optax.sgd(0.1), ema_decay=0.9,
+    )
+    step = jax.jit(make_train_step(), donate_argnums=(0,))
+    new_state, metrics = step(state, _batch(0), jax.random.key(1))
+    assert bool(jnp.isfinite(metrics["loss"]))

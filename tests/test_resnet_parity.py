@@ -138,3 +138,47 @@ def test_resnet50_mrlal_full_parity():
     tm = ResNet_mrlal(MRLA_Bottleneck, [3, 4, 6, 3], num_classes=1000)
     fm = ResNetMRLALight(layers=[3, 4, 6, 3], num_classes=1000)
     _logit_compare(fm, tm, size=128)
+
+
+@pytest.mark.slow
+def test_resnet101_mrlab_full_parity_scan_roundtrip():
+    """MRLA-base at the HARD depth (VERDICT r2 next-8): resnet101's 23-block
+    stage 3 is the SURVEY §3.3 memory case (V cache grows to
+    23x[B,C,H,W]).  Executed-reference logits through the converted state
+    dict AND the stack_scan_params round-trip into the lax.scan model —
+    the deep-variant serving/training default."""
+    from models.resnet_mrla_base import ResNet_mrlab, MRLA_Bottleneck as MRLAB_Block
+
+    from mrla_tpu.ckpt.scan_adapter import stack_scan_params
+    from mrla_tpu.models.resnet_mrla_base import ResNetMRLABase
+
+    layers = [3, 4, 23, 3]
+    torch.manual_seed(9)
+    tm = ResNet_mrlab(MRLAB_Block, layers, num_classes=1000)
+    tm.eval()
+    variables = convert_resnet_state_dict(tm.state_dict())
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+
+    # unrolled model on the converted tree
+    fm_u = ResNetMRLABase(layers=layers, num_classes=1000, use_scan=False)
+    got_u = np.asarray(
+        fm_u.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(x),
+                   train=False)
+    )
+    np.testing.assert_allclose(got_u, want, rtol=RTOL, atol=ATOL)
+
+    # scan model on the stacked tree (the O(1)-compile form for this depth)
+    vs = {
+        "params": stack_scan_params(variables["params"], layers),
+        "batch_stats": stack_scan_params(variables["batch_stats"], layers),
+    }
+    fm_s = ResNetMRLABase(layers=layers, num_classes=1000, use_scan=True)
+    got_s = np.asarray(
+        fm_s.apply(jax.tree.map(jnp.asarray, vs), jnp.asarray(x),
+                   train=False)
+    )
+    np.testing.assert_allclose(got_s, want, rtol=RTOL, atol=ATOL)
