@@ -33,6 +33,37 @@ from mrla_tpu.nn import DropPath, ECALayer, MRLALightModule, SELayer
 from mrla_tpu.ops.common import max_pool_same_torch
 
 
+class _FusedBNEpilogue(nn.Module):
+    """Owns bn_mrla's params/stats (nn.BatchNorm-compatible names) and runs
+    the fused custom-VJP train tail; used only in train mode with DropPath
+    inactive (rate 0 — the published ResNet recipe)."""
+
+    momentum: float = 0.9  # torch running-stat decay 0.1 (common.batch_norm)
+
+    @nn.compact
+    def __call__(self, out, identity, proj, lam, heads):
+        from mrla_tpu.ops.fused_train import fused_light_epilogue_train
+
+        c = out.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        ret, mean, var = fused_light_epilogue_train(
+            out, identity, proj.wq, proj.wk, proj.wv, lam, scale, bias,
+            heads,
+        )
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return ret
+
+
 class MRLABottleneck(nn.Module):
     """Bottleneck + MRLA-light epilogue."""
 
@@ -48,6 +79,7 @@ class MRLABottleneck(nn.Module):
     drop_path: float = 0.0
     use_drop_path: bool = True  # mmdet backbone variant omits DropPath
     dim_perhead: int = 32
+    fused_epilogue: bool = False  # train-mode custom-VJP tail (ops/fused_train.py)
     dtype: Any = jnp.float32
     expansion: int = 4
 
@@ -83,9 +115,15 @@ class MRLABottleneck(nn.Module):
 
         # MRLA-light epilogue: the recurrence input o_{t-1} is this block's
         # (downsampled) identity — reference resnet_mrla_light.py:116.
-        mrla_out = MRLALightModule(dim_perhead=self.dim_perhead, name="mrla")(
-            out, identity
-        )
+        mrla_mod = MRLALightModule(dim_perhead=self.dim_perhead, name="mrla")
+        droppath_active = self.use_drop_path and self.drop_path > 0.0
+        if self.fused_epilogue and train and not droppath_active:
+            # one custom-VJP op for the whole tail (mrla + bn_mrla + add);
+            # same param tree, measured verdict in ROADMAP.md
+            proj, lam, g = mrla_mod(out, identity, params_only=True)
+            return _FusedBNEpilogue(name="bn_mrla")(out, identity, proj,
+                                                    lam, g)
+        mrla_out = mrla_mod(out, identity)
         mrla_out = batch_norm(train, self.dtype, name="bn_mrla")(mrla_out)
         if self.use_drop_path:
             mrla_out = DropPath(self.drop_path, name="drop_path")(mrla_out, not train)
@@ -107,6 +145,7 @@ class ResNetMRLALight(nn.Module):
     features_only: bool = False  # MMDetection backbone contract
     use_drop_path: bool = True
     remat: bool = False  # rematerialize each block in backward (training)
+    fused_epilogue: bool = False  # custom-VJP train tail (ops/fused_train.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -138,6 +177,7 @@ class ResNetMRLALight(nn.Module):
                     drop_path=self.drop_path,
                     use_drop_path=self.use_drop_path,
                     dim_perhead=self.dim_perhead,
+                    fused_epilogue=self.fused_epilogue,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )(x, train)

@@ -65,10 +65,14 @@ class MRLALightLayer(nn.Module):
     act_v: Optional[Callable] = None  # DeiT variant applies exact GELU to V
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, params_only: bool = False):
         c = x.shape[-1]
         g = _resolve_heads(c, self.heads, self.dim_perhead)
         params = _MRLAProjections(self.k_size, name="proj")(c)
+        if params_only:
+            # fused-epilogue path (ops/fused_train.py): expose the weights
+            # without computing — param tree stays identical either way
+            return params, g
         return ops.mrla_light_attention(x, params, g, act_v=self.act_v)
 
 
@@ -79,11 +83,17 @@ class MRLALightModule(nn.Module):
     act_v: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, xt: jax.Array, ot_1: jax.Array) -> jax.Array:
+    def __call__(self, xt: jax.Array, ot_1: jax.Array,
+                 params_only: bool = False):
         c = xt.shape[-1]
-        attn_t = MRLALightLayer(
+        layer = MRLALightLayer(
             dim_perhead=self.dim_perhead, act_v=self.act_v, name="mrla"
-        )(xt)
+        )
+        if params_only:
+            proj, g = layer(xt, params_only=True)
+            lam = self.param("lambda_t", nn.initializers.normal(1.0), (c,))
+            return proj, lam, g
+        attn_t = layer(xt)
         lam = self.param("lambda_t", nn.initializers.normal(1.0), (c,))
         return attn_t + lam.astype(ot_1.dtype) * ot_1
 
