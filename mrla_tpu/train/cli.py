@@ -284,12 +284,22 @@ def main(argv=None) -> dict:
             )
         teacher_fn = lambda images: teacher.apply(t_vars, images, train=False)
 
+    # rng needs come from the CONSTRUCTED model, not the CLI flags: some
+    # archs carry nonzero internal defaults (efficientnet drop_rate=0.2,
+    # deit_mrlab's hardcoded drop_path_rate=0.1) and would crash with
+    # "needs PRNG for dropout/droppath" if keyed off the flags alone
+    model_droppath = max(
+        args.drop_path,
+        getattr(model, "drop_path_rate", 0.0) or 0.0,
+        getattr(model, "drop_path", 0.0) or 0.0,
+    )
+    model_dropout = max(args.drop_rate, getattr(model, "drop_rate", 0.0) or 0.0)
     train_step = jax.jit(
         make_train_step(
             loss_fn=loss_fn,
             grad_clip_norm=args.clip_grad,
-            has_droppath=args.drop_path > 0,
-            has_dropout=args.drop_rate > 0,
+            has_droppath=model_droppath > 0,
+            has_dropout=model_dropout > 0,
             teacher_fn=teacher_fn,
             distill_kind=args.distillation_type,
             distill_alpha=args.distillation_alpha,

@@ -102,12 +102,13 @@ def bench_deit(microbatches, arch="deit_mrlal_small_patch16_224"):
         @jax.jit
         def run_many(cast, x, mb=mb):
             def body(carry, _):
-                v = dict(cast)
-                pp = dict(v["params"])
-                ct = pp["cls_token"] if "cls_token" in pp else pp["pos_embed"]
-                key = "cls_token" if "cls_token" in pp else "pos_embed"
-                pp[key] = ct + (carry * 1e-20).astype(ct.dtype)
-                v["params"] = pp
+                # perturb ONE param leaf by carry*1e-20 so no iteration is
+                # dead-code eliminated (works for any arch's param tree)
+                leaves, treedef = jax.tree.flatten(cast)
+                leaves = [
+                    leaves[0] + (carry * 1e-20).astype(leaves[0].dtype)
+                ] + leaves[1:]
+                v = jax.tree.unflatten(treedef, leaves)
                 logits = deit_forward(model, v, x, microbatch=mb)
                 return jnp.sum(logits[:, 0]).astype(jnp.float32), None
 
@@ -301,6 +302,10 @@ if __name__ == "__main__":
         bench_mrlab(mbs)
     if what in ("deit", "all"):
         bench_deit(mbs)
+    if what in ("zoo",):
+        # rest-of-zoo serving rows through the generic precast engine
+        for arch in ("efficientnet_mrlal_b0", "resmlp_24", "patchconvnet_s60"):
+            bench_deit(mbs, arch=arch)
     if what in ("mrlal101",):
         bench_mrlal101(mbs)
     if what in ("detect", "all"):
