@@ -9,10 +9,19 @@ Prints exactly ONE JSON line:
 Methodology: runs the serving engine (mrla_tpu.serving — BN-folded params,
 bf16, logits verified against the Flax model).  The timed region executes
 ITERS forwards fully on-device inside one jitted lax.scan; a carried scalar
-perturbs a 64-element stem bias each step so no iteration can be elided,
-then the carry is fetched — one dispatch, one host round-trip, so the
-remote-tunnel dispatch latency of this environment cannot pollute the
-number (block_until_ready is unreliable through the relay).
+perturbs the INPUT each step so every iteration processes fresh data — as
+real serving does — and NOTHING is loop-invariant; the carry is fetched at
+the end — one dispatch, one host round-trip, so the remote-tunnel dispatch
+latency of this environment cannot pollute the number (block_until_ready
+is unreliable through the relay).
+
+The perturbation point matters: earlier rounds perturbed a stem BIAS,
+which left the stem conv on the constant input loop-invariant — XLA
+hoisted it (plus the then-default space-to-depth repack) out of the scan,
+inflating throughput ~27% (11.5k vs 8.45k img/s on the same engine;
+quantified in scripts/exp_benchperturb.py, decomposed in
+exp_benchperturb2.py).  The engine defaults were then re-tuned under the
+honest harness (exp_benchperturb3/4.py): shared-stem chains, mb32, no s2d.
 
 ITERS=400: the dispatch+fetch round trip costs ~30 ms regardless of work
 (measured with a trivial scan body); at 50 iterations that inflated the
@@ -64,11 +73,10 @@ def main() -> None:
     @jax.jit
     def run_many(sp, x):
         def body(carry, _):
-            p = dict(sp)
-            stem = dict(p["stem"])
-            stem["b"] = stem["b"] + (carry * 1e-20).astype(stem["b"].dtype)
-            p["stem"] = stem
-            logits = resnet_mrlal_forward(p, x, use_pallas=False)
+            # perturb the INPUT: every op in the network is then
+            # iteration-dependent (honest harness — see module docstring)
+            xx = x + (carry * 1e-20).astype(x.dtype)
+            logits = resnet_mrlal_forward(sp, xx, use_pallas=False)
             # consume every SAMPLE's output (not just logits[0]): the engine
             # traces independent microbatch chains, and XLA dead-code
             # eliminates any chain whose outputs the carry doesn't touch

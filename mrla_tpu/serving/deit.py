@@ -82,9 +82,10 @@ def deit_forward(
     microbatch: trace the batch as independent `microbatch`-image chains
     in one program (see resnet_mrlal_forward — same mechanism, same
     bitwise-parity guarantee: LayerNorm/attention are per-sample math).
-    Measured v5e bs128 bf16 224px deit_mrlal_small: mb0 4212 / mb16 5781
-    (+37%) / mb32 5182 img/s — the smaller per-chain activations pipeline
-    through VMEM between the per-block matmul groups.  0 disables."""
+    Measured v5e bs128 bf16 224px deit_mrlal_small (honest input-perturbed
+    harness, scripts/bench_misc.py): mb0 4189 / mb16 5780 (+38%) / mb32
+    4980 img/s — the smaller per-chain activations pipeline through VMEM
+    between the per-block matmul groups.  0 disables."""
     if microbatch and x.shape[0] > microbatch and x.shape[0] % microbatch == 0:
         return jnp.concatenate(
             [

@@ -58,12 +58,21 @@ def _bn_affine(bn):
 
 def prepare_inference_params(
     variables: Dict, layers: Sequence[int] = (3, 4, 6, 3), dtype=jnp.bfloat16,
-    with_head: bool = True,
+    with_head: bool = True, s2d: bool = False,
 ) -> Dict:
     """Fold BNs and pre-cast; returns a flat serving param tree.
 
     with_head=False serves a features_only tree (detection backbone — no
-    fc)."""
+    fc).
+
+    s2d=True additionally packs a space-to-depth stem kernel, which _stem
+    prefers when present.  OFF by default: under the honest (input-
+    perturbed) benchmark harness the repack transpose costs more than the
+    7x7 conv saves at every measured size — 224px classification −6.6%
+    (scripts/exp_benchperturb3.py) and COCO 800x1344 −15%
+    (scripts/exp_detect_variants.py).  The earlier harness perturbed a stem
+    bias, which let XLA hoist the constant-input repack+conv out of the
+    timing loop and hid this cost (scripts/exp_benchperturb.py)."""
     params = variables["params"]
     stats = variables["batch_stats"]
 
@@ -79,22 +88,25 @@ def prepare_inference_params(
 
     k, b = _fold(params["stem"]["conv1"]["kernel"], bn(("stem", "bn1")))
     out["stem"] = {"k": jnp.asarray(k, dtype), "b": jnp.asarray(b, dtype)}
-    # Space-to-depth stem (MLPerf trick): the 7x7/2 conv on a 3-channel
-    # input underutilizes the MXU; repack 2x2 spatial blocks into channels
-    # (C=12) and run an equivalent 4x4/1 VALID conv.  Kernel transform:
-    # w4[I,J,(py,px,c),o] = w7[2I+py, 2J+px, c, o], zero where 2I+py > 6.
-    w7 = np.asarray(k, np.float32)  # [7,7,3,64]
-    w4 = np.zeros((4, 4, 2, 2, 3, w7.shape[-1]), np.float32)
-    for big_i in range(4):
-        for py in range(2):
-            if 2 * big_i + py > 6:
-                continue
-            for big_j in range(4):
-                for px in range(2):
-                    if 2 * big_j + px > 6:
-                        continue
-                    w4[big_i, big_j, py, px] = w7[2 * big_i + py, 2 * big_j + px]
-    out["stem"]["k_s2d"] = jnp.asarray(w4.reshape(4, 4, 12, -1), dtype)
+    if s2d:
+        # Space-to-depth stem (MLPerf trick): the 7x7/2 conv on a 3-channel
+        # input underutilizes the MXU; repack 2x2 spatial blocks into channels
+        # (C=12) and run an equivalent 4x4/1 VALID conv.  Kernel transform:
+        # w4[I,J,(py,px,c),o] = w7[2I+py, 2J+px, c, o], zero where 2I+py > 6.
+        w7 = np.asarray(k, np.float32)  # [7,7,3,64]
+        w4 = np.zeros((4, 4, 2, 2, 3, w7.shape[-1]), np.float32)
+        for big_i in range(4):
+            for py in range(2):
+                if 2 * big_i + py > 6:
+                    continue
+                for big_j in range(4):
+                    for px in range(2):
+                        if 2 * big_j + px > 6:
+                            continue
+                        w4[big_i, big_j, py, px] = w7[
+                            2 * big_i + py, 2 * big_j + px
+                        ]
+        out["stem"]["k_s2d"] = jnp.asarray(w4.reshape(4, 4, 12, -1), dtype)
 
     # Guard against preparing with the wrong depth (e.g. resnet50 default
     # layers on a resnet101 tree): every layer*_* entry must be consumed —
@@ -225,7 +237,9 @@ def _block(x, p, stride: int, heads: int, use_pallas: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layers", "dim_perhead", "use_pallas", "microbatch"),
+    static_argnames=(
+        "layers", "dim_perhead", "use_pallas", "microbatch", "shared_stem",
+    ),
 )
 def resnet_mrlal_forward(
     serving_params: Dict,
@@ -233,7 +247,8 @@ def resnet_mrlal_forward(
     layers: Sequence[int] = (3, 4, 6, 3),
     dim_perhead: int = 32,
     use_pallas: bool = False,
-    microbatch: int = 16,
+    microbatch: int = 32,
+    shared_stem: bool = True,
 ) -> jax.Array:
     """[B, H, W, 3] (any float dtype; cast to the param dtype) -> logits fp32.
 
@@ -243,13 +258,47 @@ def resnet_mrlal_forward(
     barrier the block tail must wait on; with several independent chains,
     one chain's barrier overlaps another's conv compute, and the smaller
     per-chain activations window-pipeline through VMEM between convs.
-    Measured (v5e, bs128 bf16 224px): 16 -> 11.2 ms/iter vs 16.4 unsplit
-    (+45% throughput); logits are BITWISE identical (per-sample math is
-    batch-independent).  Set microbatch=0 to disable."""
+    Logits are BITWISE identical to the unsplit program (per-sample math is
+    batch-independent).  Set microbatch=0 to disable.
+
+    shared_stem=True runs the stem + maxpool on the FULL batch (the stem
+    has no MRLA barrier, so it gains nothing from chain overlap and costs
+    per-chain MXU underutilization) and starts the chains after it.
+
+    Defaults (mb32 + shared stem, no s2d) are the winners of the honest
+    input-perturbed harness sweep — v5e bs128 bf16 224px, every iteration's
+    input fresh so nothing is loop-invariant (scripts/exp_benchperturb*.py):
+    shared-stem mb32 10,778 img/s vs full-split mb32 9,765 / old default
+    s2d+full-split mb16 8,450 / unsplit 7,919.  (The previous defaults were
+    tuned under a harness that perturbed a stem bias per iteration, letting
+    XLA hoist the constant-input stem out of the timing scan — numbers in
+    that regime: mb16 11.5k — and are kept reachable via shared_stem=False,
+    s2d=True.)"""
     if microbatch and x.shape[0] > microbatch and x.shape[0] % microbatch == 0:
         n = x.shape[0] // microbatch
         # chains are traced INLINE (not nested jit calls) so XLA schedules
         # their ops interleaved in one program
+        if shared_stem:
+            y = _stem(
+                x.astype(serving_params["stem"]["k"].dtype),
+                serving_params["stem"],
+            )
+            return jnp.concatenate(
+                [
+                    _head_impl(
+                        serving_params,
+                        _blocks_impl(
+                            serving_params,
+                            y[i * microbatch : (i + 1) * microbatch],
+                            layers,
+                            dim_perhead,
+                            use_pallas,
+                        )[-1],
+                    )
+                    for i in range(n)
+                ],
+                axis=0,
+            )
         return jnp.concatenate(
             [
                 _forward_impl(
@@ -274,6 +323,19 @@ def _trunk_impl(
     use_pallas: bool,
 ):
     """Stem + all blocks; returns the per-stage outputs [C2, C3, C4, C5]."""
+    x = x.astype(serving_params["stem"]["k"].dtype)
+    y = _stem(x, serving_params["stem"])
+    return _blocks_impl(serving_params, y, layers, dim_perhead, use_pallas)
+
+
+def _blocks_impl(
+    serving_params: Dict,
+    y: jax.Array,
+    layers: Sequence[int],
+    dim_perhead: int,
+    use_pallas: bool,
+):
+    """All blocks on a post-stem feature map; per-stage outputs [C2..C5]."""
     strides = []
     stage_last = []
     for stage_idx, blocks in enumerate(layers):
@@ -281,8 +343,6 @@ def _trunk_impl(
             strides.append(2 if (stage_idx > 0 and block_idx == 0) else 1)
         stage_last.append(len(strides) - 1)
 
-    x = x.astype(serving_params["stem"]["k"].dtype)
-    y = _stem(x, serving_params["stem"])
     blocks = serving_params["blocks"]
     if len(blocks) != len(strides):
         raise ValueError(
@@ -305,6 +365,12 @@ def _trunk_impl(
     return outs
 
 
+def _head_impl(serving_params: Dict, y: jax.Array) -> jax.Array:
+    pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+    fc = serving_params["fc"]
+    return pooled @ fc["k"].astype(jnp.float32) + fc["b"]
+
+
 def _forward_impl(
     serving_params: Dict,
     x: jax.Array,
@@ -313,6 +379,4 @@ def _forward_impl(
     use_pallas: bool,
 ) -> jax.Array:
     y = _trunk_impl(serving_params, x, layers, dim_perhead, use_pallas)[-1]
-    pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
-    fc = serving_params["fc"]
-    return pooled @ fc["k"].astype(jnp.float32) + fc["b"]
+    return _head_impl(serving_params, y)

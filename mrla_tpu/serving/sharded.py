@@ -9,7 +9,7 @@ shard_map keeps GSPMD from misreading the engine's intra-batch chain
 slicing as something needing cross-chip gathers.
 
 Throughput therefore scales linearly: n_chips x the single-chip number
-(11.5k img/s for resnet50_mrlal).  Works multi-host: pass a global array
+(10.8k img/s for resnet50_mrlal, honest harness).  Works multi-host: pass a global array
 built with `parallel.mesh.shard_batch`.
 """
 

@@ -62,13 +62,11 @@ def bench_mrlab(microbatches):
             @jax.jit
             def run_many(sp, x, mb=mb, use_scan=use_scan):
                 def body(carry, _):
-                    p = dict(sp)
-                    stem = [dict(s) for s in p["stem"]]
-                    stem[0]["b"] = stem[0]["b"] + (carry * 1e-20).astype(
-                        stem[0]["b"].dtype
-                    )
-                    p["stem"] = stem
-                    logits = resnet_mrlab_forward(p, x, microbatch=mb,
+                    # perturb the INPUT so nothing is loop-invariant (see
+                    # exp_benchperturb.py: param-leaf perturbation lets XLA
+                    # hoist the constant-input prefix out of the scan)
+                    xx = x + (carry * 1e-20).astype(x.dtype)
+                    logits = resnet_mrlab_forward(sp, xx, microbatch=mb,
                                                   use_scan=use_scan)
                     return jnp.sum(logits[:, 0]).astype(jnp.float32), None
 
@@ -102,14 +100,13 @@ def bench_deit(microbatches, arch="deit_mrlal_small_patch16_224"):
         @jax.jit
         def run_many(cast, x, mb=mb):
             def body(carry, _):
-                # perturb ONE param leaf by carry*1e-20 so no iteration is
-                # dead-code eliminated (works for any arch's param tree)
-                leaves, treedef = jax.tree.flatten(cast)
-                leaves = [
-                    leaves[0] + (carry * 1e-20).astype(leaves[0].dtype)
-                ] + leaves[1:]
-                v = jax.tree.unflatten(treedef, leaves)
-                logits = deit_forward(model, v, x, microbatch=mb)
+                # perturb the INPUT by carry*1e-20 so the ENTIRE network is
+                # iteration-dependent: perturbing a single param leaf lets
+                # XLA hoist everything upstream of that leaf out of the scan
+                # (loop-invariant code motion — measured 229k "img/s" on
+                # efficientnet_mrlal_b0 with a late-layer leaf perturbed)
+                xx = x + (carry * 1e-20).astype(x.dtype)
+                logits = deit_forward(model, cast, xx, microbatch=mb)
                 return jnp.sum(logits[:, 0]).astype(jnp.float32), None
 
             carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
@@ -143,13 +140,9 @@ def bench_mrlal101(microbatches):
         @jax.jit
         def run_many(sp, x, mb=mb):
             def body(carry, _):
-                p = dict(sp)
-                stem = dict(p["stem"])
-                stem["b"] = stem["b"] + (carry * 1e-20).astype(
-                    stem["b"].dtype
-                )
-                p["stem"] = stem
-                logits = resnet_mrlal_forward(p, x, layers=layers,
+                # input perturbation — honest harness (exp_benchperturb.py)
+                xx = x + (carry * 1e-20).astype(x.dtype)
+                logits = resnet_mrlal_forward(sp, xx, layers=layers,
                                               microbatch=mb)
                 return jnp.sum(logits[:, 0]).astype(jnp.float32), None
 

@@ -87,11 +87,12 @@ def main() -> None:
         @jax.jit
         def run_many(sp, x, depth=depth):
             def body(carry, _):
-                p = dict(sp)
-                stem = dict(p["stem"])
-                stem["b"] = stem["b"] + (carry * 1e-20).astype(stem["b"].dtype)
-                p["stem"] = stem
-                logits = forward(p, x, depth)
+                # input perturbation — honest harness (exp_benchperturb.py):
+                # stem-bias perturbation let XLA hoist the constant-input
+                # stem prefix out of the scan, muting exactly the cost this
+                # experiment varies (where the stem runs)
+                xx = x + (carry * 1e-20).astype(x.dtype)
+                logits = forward(sp, xx, depth)
                 return jnp.sum(logits[:, 0]).astype(jnp.float32), None
 
             carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)

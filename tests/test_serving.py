@@ -19,7 +19,8 @@ from mrla_tpu.serving import (
 )
 
 
-def test_serving_matches_flax():
+@pytest.mark.parametrize("s2d", [False, True])
+def test_serving_matches_flax(s2d):
     layers = (1, 1, 1, 1)
     model = ResNetMRLALight(layers=list(layers), num_classes=10)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
@@ -38,7 +39,9 @@ def test_serving_matches_flax():
         model.apply(jax.tree.map(jnp.asarray, variables), x, train=False)
     )
 
-    sp = prepare_inference_params(variables, layers=layers, dtype=jnp.float32)
+    sp = prepare_inference_params(variables, layers=layers, dtype=jnp.float32,
+                                  s2d=s2d)
+    assert ("k_s2d" in sp["stem"]) == s2d
     got = np.asarray(
         resnet_mrlal_forward(sp, x, layers=layers, use_pallas=False)
     )
@@ -130,7 +133,10 @@ def test_microbatch_chains_bitwise_equal():
         np.random.default_rng(3).standard_normal((16, 64, 64, 3)), jnp.float32
     )
     full = resnet_mrlal_forward(sp, x, microbatch=0)
-    split = resnet_mrlal_forward(sp, x, microbatch=4)
+    # both split forms: shared stem (the shipped default) and full split
+    shared = resnet_mrlal_forward(sp, x, microbatch=4, shared_stem=True)
+    split = resnet_mrlal_forward(sp, x, microbatch=4, shared_stem=False)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(shared))
     np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
 
 
