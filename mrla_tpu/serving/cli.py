@@ -45,6 +45,17 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def _precast_microbatch_default(arch: str) -> dict:
+    """Engine kwargs for the generic precast path when the user gave no
+    --microbatch.  Chain-splitting only wins for the token-space MRLA
+    DeiTs (measured, honest input-perturbed harness: deit_mrlal_small
+    mb16 +38%, but efficientnet_mrlal_b0 mb16 -44%, resmlp_24 -15%,
+    patchconvnet_s60 -14%; `bench_misc.py zoo`) — those nets have no
+    per-block GAP barrier for chains to hide, so the split only adds
+    per-chain weight re-reads.  Non-DeiT archs get the unsplit program."""
+    return {} if arch.startswith("deit") else {"microbatch": 0}
+
+
 def _pick_engine(arch: str) -> str:
     if arch.startswith("resnet") and arch.endswith("_mrlal"):
         return "mrlal"
@@ -144,6 +155,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         bf_model, cast = prepare_precast_inference_params(
             args.arch, variables, num_classes=args.num_classes
         )
+        if args.microbatch is None:
+            mb_kw = _precast_microbatch_default(args.arch)
         fwd = lambda x: precast_forward(bf_model, cast, x, **mb_kw)
 
     import os

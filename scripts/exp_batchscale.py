@@ -2,11 +2,11 @@
 """Does the microbatch-chain serving engine scale past the bs128 contract?
 
 The north star (BASELINE.json) is bs128, but nothing pins serving to it:
-with 16-image chains the program is 8 chains at bs128 and 16 at bs256 —
+with 32-image chains the program is 4 chains at bs128 and 8 at bs256 —
 more chains = more overlap opportunity for XLA's scheduler, at the price
 of more per-chain weight re-reads.  This measures resnet50_mrlal at
-bs128/256/512 (mb16, plus mb32 at bs256 as a chain-size control), same
-scan-carry harness as bench.py.
+bs128/256/512 (mb32 engine defaults, plus mb64 at bs256 as a chain-size
+control), honest input-perturbed scan harness as bench.py.
 
 Usage: python scripts/exp_batchscale.py
 """
@@ -36,7 +36,7 @@ def main() -> None:
     )
     sp = prepare_inference_params(jax.device_get(variables), dtype=jnp.bfloat16)
 
-    for batch, mb in ((128, 16), (256, 16), (256, 32), (512, 16)):
+    for batch, mb in ((128, 32), (256, 32), (512, 32), (256, 64)):
         x = jax.device_put(
             jnp.asarray(
                 np.random.default_rng(0).standard_normal((batch, 224, 224, 3)),

@@ -49,6 +49,19 @@ def test_cli_engine_routing():
     assert _pick_engine("efficientnet_mrlal_b0") == "precast"
 
 
+def test_cli_precast_microbatch_default():
+    """Non-DeiT precast archs default to the unsplit program (chains lose
+    without a GAP barrier to hide); DeiTs keep the engine's mb16."""
+    from mrla_tpu.serving.cli import _precast_microbatch_default
+
+    assert _precast_microbatch_default("efficientnet_mrlal_b0") == {
+        "microbatch": 0
+    }
+    assert _precast_microbatch_default("resmlp_24") == {"microbatch": 0}
+    assert _precast_microbatch_default("patchconvnet_s60") == {"microbatch": 0}
+    assert _precast_microbatch_default("deit_mrlal_small_patch16_224") == {}
+
+
 def test_cli_precast_engine(tiny_imagefolder):
     res = main([
         "-a", "efficientnet_mrlal_b0", "--data", tiny_imagefolder,
