@@ -299,6 +299,15 @@ if __name__ == "__main__":
         # rest-of-zoo serving rows through the generic precast engine
         for arch in ("efficientnet_mrlal_b0", "resmlp_24", "patchconvnet_s60"):
             bench_deit(mbs, arch=arch)
+    if what in ("zoo2",):
+        # remaining families, unsplit program (mb0 is the shipped precast
+        # default for non-DeiT archs — chains lose without a GAP barrier)
+        for arch in (
+            "resnet50", "resnet50_eca", "resnext50_32x4d",
+            "resnet50_dw", "resnet50_la_eq4", "resnet50_mrlab22",
+            "deit_tiny_patch16_224", "deit_mrlab_small_patch16_224",
+        ):
+            bench_deit(mbs, arch=arch)
     if what in ("mrlal101",):
         bench_mrlal101(mbs)
     if what in ("detect", "all"):
