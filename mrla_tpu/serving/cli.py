@@ -108,20 +108,19 @@ def _load_variables(args, model):
     return jax.device_get(template)
 
 
-def main(argv: Optional[Sequence[str]] = None) -> dict:
-    args = build_argparser().parse_args(argv)
-
-    from mrla_tpu.data.imagefolder import ImageFolder, iterate_batches
-    from mrla_tpu.data.transforms import normalize
-    from mrla_tpu.models import create_model
-
-    engine = args.engine if args.engine != "auto" else _pick_engine(args.arch)
-    model = create_model(args.arch, num_classes=args.num_classes)
-    variables = _load_variables(args, model)
-
-    mb_kw = (
-        {} if args.microbatch is None else {"microbatch": args.microbatch}
-    )
+def make_engine_forward(
+    arch: str,
+    model,
+    variables,
+    engine: str = "auto",
+    microbatch: Optional[int] = None,
+    num_classes: int = 1000,
+):
+    """Route `arch` to its fastest serving engine and return a jitted
+    `fwd(x: [B,H,W,3]) -> logits fp32` closure over the prepared (BN-folded
+    / pre-cast) params.  Shared by the eval CLI and the batching server."""
+    engine = engine if engine != "auto" else _pick_engine(arch)
+    mb_kw = {} if microbatch is None else {"microbatch": microbatch}
     if engine == "mrlal":
         from mrla_tpu.serving import (
             prepare_inference_params, resnet_mrlal_forward,
@@ -132,8 +131,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         layers = tuple(model.layers)
         sp = prepare_inference_params(jax.device_get(variables),
                                       layers=layers)
-        fwd = lambda x: resnet_mrlal_forward(sp, x, layers=layers, **mb_kw)
-    elif engine == "mrlab":
+        return lambda x: resnet_mrlal_forward(sp, x, layers=layers, **mb_kw)
+    if engine == "mrlab":
         from mrla_tpu.serving import (
             prepare_mrlab_inference_params, resnet_mrlab_forward,
         )
@@ -144,20 +143,34 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         sp = prepare_mrlab_inference_params(
             jax.device_get(variables), layers=layers, deep_stem=deep_stem
         )
-        fwd = lambda x: resnet_mrlab_forward(
+        return lambda x: resnet_mrlab_forward(
             sp, x, layers=layers, relu_on_attn=relu_on_attn, **mb_kw
         )
-    else:
-        from mrla_tpu.serving import (
-            precast_forward, prepare_precast_inference_params,
-        )
+    from mrla_tpu.serving import (
+        precast_forward, prepare_precast_inference_params,
+    )
 
-        bf_model, cast = prepare_precast_inference_params(
-            args.arch, variables, num_classes=args.num_classes
-        )
-        if args.microbatch is None:
-            mb_kw = _precast_microbatch_default(args.arch)
-        fwd = lambda x: precast_forward(bf_model, cast, x, **mb_kw)
+    bf_model, cast = prepare_precast_inference_params(
+        arch, variables, num_classes=num_classes
+    )
+    if microbatch is None:
+        mb_kw = _precast_microbatch_default(arch)
+    return lambda x: precast_forward(bf_model, cast, x, **mb_kw)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> dict:
+    args = build_argparser().parse_args(argv)
+
+    from mrla_tpu.data.imagefolder import ImageFolder, iterate_batches
+    from mrla_tpu.data.transforms import normalize
+    from mrla_tpu.models import create_model
+
+    model = create_model(args.arch, num_classes=args.num_classes)
+    variables = _load_variables(args, model)
+    fwd = make_engine_forward(
+        args.arch, model, variables, engine=args.engine,
+        microbatch=args.microbatch, num_classes=args.num_classes,
+    )
 
     import os
 
@@ -199,7 +212,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     result = {
         "arch": args.arch,
-        "engine": engine,
+        "engine": (
+            args.engine if args.engine != "auto" else _pick_engine(args.arch)
+        ),
         "acc1": round(100.0 * top1 / max(seen, 1), 3),
         "acc5": round(100.0 * top5 / max(seen, 1), 3),
         "images": seen,

@@ -1,0 +1,312 @@
+"""Batching inference server — the production-serving front end.
+
+The reference repo serves nothing (its eval is `train.py -e`); a deployed
+model needs a daemon.  This one is stdlib-only (ThreadingHTTPServer) around
+the same engines the eval CLI uses (cli.make_engine_forward):
+
+  * ONE fixed-shape jitted program: requests are queued and flushed as a
+    padded [batch_size, H, W, 3] batch — either when full or after
+    max_wait_ms — so the engine never recompiles and the MXU always sees
+    the tuned batch shape (the bs128 microbatch-chain program, or any
+    smaller contract).
+  * the device runs asynchronously: the flusher thread dispatches a batch
+    and hands the (future-like) device array to the responders, so host
+    HTTP work overlaps device compute.
+
+Endpoints:
+  GET  /healthz           -> {"status": "ok", ...model info}
+  GET  /stats             -> request/batch counters + padding fraction
+  POST /predict           -> logits (+ optional top-k)
+      body: .npy bytes (Content-Type: application/x-npy) of one [H,W,3]
+      image or an [N,H,W,3] batch, float; or JSON {"instances": [...]}
+      with the same shapes as nested lists.  Values are expected already
+      normalized (the eval transform lives in the client / data pipeline).
+      Response JSON: {"predictions": [[...num_classes logits...], ...]}
+      or {"topk": [{"classes": [...], "scores": [...]}, ...]} with ?topk=K.
+
+Usage:
+    python -m mrla_tpu.serving.server -a resnet50_mrlal \
+        [--torch ckpt.pth.tar | --resume runs/x] [-b 128] [--port 8000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class _Pending:
+    """One queued image; done_event signals logits are available."""
+
+    __slots__ = ("image", "event", "logits", "error")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.logits: Optional[np.ndarray] = None
+        self.error: Optional[Exception] = None
+
+
+class BatchingEngine:
+    """Collects single-image requests into fixed-size padded batches.
+
+    fwd: jitted [batch_size,H,W,3] -> [batch_size,num_classes] closure.
+    Flush policy: when `batch_size` requests are waiting, immediately;
+    otherwise `max_wait_ms` after the oldest request arrived.  Padding rows
+    repeat row 0 (cheap, and keeps batch statistics-free engines exact —
+    all shipped engines are per-sample math, so padding cannot perturb real
+    rows; asserted by tests/test_server.py).
+    """
+
+    def __init__(self, fwd: Callable, batch_size: int, image_shape,
+                 max_wait_ms: float = 5.0, input_dtype=np.float32):
+        self.fwd = fwd
+        self.batch_size = int(batch_size)
+        self.image_shape = tuple(image_shape)  # (H, W, 3)
+        self.max_wait_s = max_wait_ms / 1e3
+        # host-side cast before the device transfer: every shipped engine
+        # computes in bf16, so uploading fp32 doubles the host->device bytes
+        # for rounding the device would discard anyway (ml_dtypes.bfloat16
+        # is a numpy dtype; jax ships it)
+        self.input_dtype = input_dtype
+        self.queue: "queue.Queue[_Pending]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "padded_rows": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def submit(self, image: np.ndarray) -> _Pending:
+        if image.shape != self.image_shape:
+            raise ValueError(
+                f"image shape {image.shape} != server shape {self.image_shape}"
+            )
+        p = _Pending(np.asarray(image, np.float32))
+        self.stats["requests"] += 1
+        self.queue.put(p)
+        return p
+
+    def _collect(self):
+        """Block for the first request, then gather until full or timeout."""
+        try:
+            first = self.queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.batch_size:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
+            try:
+                batch.append(self.queue.get(timeout=left))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            n = len(batch)
+            x = np.stack(
+                [p.image for p in batch]
+                + [batch[0].image] * (self.batch_size - n)
+            ).astype(self.input_dtype)
+            self.stats["batches"] += 1
+            self.stats["padded_rows"] += self.batch_size - n
+            try:
+                logits = np.asarray(self.fwd(x))  # fetch -> host
+                for i, p in enumerate(batch):
+                    p.logits = logits[i]
+            except Exception as e:  # surface engine errors to the callers
+                for p in batch:
+                    p.error = e
+            for p in batch:
+                p.event.set()
+
+
+def _make_handler(engine: BatchingEngine, info: dict, timeout_s: float = 120.0):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                return self._json(200, {"status": "ok", **info})
+            if self.path.startswith("/stats"):
+                return self._json(200, dict(engine.stats))
+            return self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if not self.path.startswith("/predict"):
+                return self._json(404, {"error": f"no route {self.path}"})
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if "npy" in ctype or body[:6] == b"\x93NUMPY":
+                    arr = np.load(io.BytesIO(body), allow_pickle=False)
+                else:
+                    arr = np.asarray(
+                        json.loads(body)["instances"], np.float32
+                    )
+                if arr.ndim == 3:
+                    arr = arr[None]
+                if arr.ndim != 4:
+                    raise ValueError(f"expected [N,H,W,3], got {arr.shape}")
+            except Exception as e:
+                return self._json(400, {"error": str(e)})
+
+            try:
+                pendings = [engine.submit(im) for im in arr]
+            except ValueError as e:
+                return self._json(400, {"error": str(e)})
+            for p in pendings:
+                if not p.event.wait(timeout=timeout_s):
+                    return self._json(504, {"error": "inference timeout"})
+                if p.error is not None:
+                    return self._json(500, {"error": str(p.error)})
+
+            logits = np.stack([p.logits for p in pendings])
+            topk = 0
+            if "topk=" in self.path:
+                try:
+                    topk = int(self.path.split("topk=")[1].split("&")[0])
+                except ValueError:
+                    pass
+            if topk:
+                order = np.argsort(-logits, axis=-1)[:, :topk]
+                return self._json(200, {
+                    "topk": [
+                        {
+                            "classes": order[i].tolist(),
+                            "scores": logits[i, order[i]].astype(float).tolist(),
+                        }
+                        for i in range(len(order))
+                    ]
+                })
+            return self._json(
+                200, {"predictions": logits.astype(float).tolist()}
+            )
+
+    return Handler
+
+
+def build_server(
+    arch: str,
+    variables,
+    batch_size: int = 128,
+    image_size: int = 224,
+    num_classes: int = 1000,
+    engine: str = "auto",
+    microbatch: Optional[int] = None,
+    max_wait_ms: float = 5.0,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    timeout_s: float = 120.0,
+    input_dtype=None,
+):
+    """Returns (ThreadingHTTPServer, BatchingEngine) ready for
+    serve_forever(); the first request triggers the engine jit unless you
+    warm it first (main() does)."""
+    from mrla_tpu.models import create_model
+
+    model = create_model(arch, num_classes=num_classes)
+    from mrla_tpu.serving.cli import make_engine_forward
+
+    fwd = make_engine_forward(
+        arch, model, variables, engine=engine, microbatch=microbatch,
+        num_classes=num_classes,
+    )
+    if input_dtype is None:
+        import ml_dtypes
+
+        input_dtype = ml_dtypes.bfloat16
+    beng = BatchingEngine(
+        fwd, batch_size, (image_size, image_size, 3), max_wait_ms,
+        input_dtype=input_dtype,
+    )
+    info = {
+        "arch": arch,
+        "batch_size": batch_size,
+        "image_size": image_size,
+        "num_classes": num_classes,
+    }
+    httpd = ThreadingHTTPServer(
+        (host, port), _make_handler(beng, info, timeout_s=timeout_s)
+    )
+    return httpd, beng
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    p = argparse.ArgumentParser("mrla_tpu serving daemon")
+    p.add_argument("-a", "--arch", default="resnet50_mrlal")
+    p.add_argument("--torch", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("-b", "--batch-size", type=int, default=128)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "mrlal", "mrlab", "precast"])
+    p.add_argument("--microbatch", type=int, default=None)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--timeout-s", type=float, default=120.0,
+                   help="per-request inference wait before 504")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+
+    from mrla_tpu.models import create_model
+    from mrla_tpu.serving.cli import _load_variables
+
+    model = create_model(args.arch, num_classes=args.num_classes)
+    variables = _load_variables(args, model)
+    httpd, beng = build_server(
+        args.arch, variables, batch_size=args.batch_size,
+        image_size=args.image_size, num_classes=args.num_classes,
+        engine=args.engine, microbatch=args.microbatch,
+        max_wait_ms=args.max_wait_ms, host=args.host, port=args.port,
+        timeout_s=args.timeout_s,
+    )
+    # warm the jit before accepting traffic (first compile is minutes for
+    # the microbatched program; .jax_cache makes repeats fast).  Same dtype
+    # as the flusher's batches so the serving program is compiled exactly
+    # once.
+    warm = np.zeros((args.batch_size, args.image_size, args.image_size, 3),
+                    beng.input_dtype)
+    np.asarray(beng.fwd(warm))
+    print(f"serving {args.arch} on {args.host}:{args.port} "
+          f"(batch {args.batch_size}, {args.image_size}px)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        beng.close()
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

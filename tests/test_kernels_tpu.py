@@ -1,5 +1,7 @@
 """Pallas kernel tests — require the real TPU (marked `tpu`; excluded from
-the CPU suite; run manually with:  pytest -m tpu --no-header tests/)."""
+the CPU suite; run manually with:
+    MRLA_TPU_TESTS=1 pytest -m tpu -q tests/test_kernels_tpu.py
+— the env var stops conftest.py from forcing the CPU backend)."""
 
 import numpy as np
 import pytest

@@ -1,0 +1,200 @@
+"""Batching inference server tests (serving/server.py): queue/padding
+semantics, timeout flush, error propagation, and HTTP round-trips against a
+tiny real engine."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax.numpy as jnp
+
+from mrla_tpu.serving.server import BatchingEngine, _make_handler
+
+
+SHAPE = (8, 8, 3)
+
+
+def _toy_fwd(x):
+    """Deterministic per-image 'logits': channel means -> 3 classes."""
+    return jnp.mean(jnp.asarray(x, jnp.float32), axis=(1, 2))
+
+
+def _images(n, seed=0):
+    return np.random.default_rng(seed).standard_normal(
+        (n,) + SHAPE
+    ).astype(np.float32)
+
+
+def test_batching_pads_and_routes_rows():
+    eng = BatchingEngine(_toy_fwd, batch_size=4, image_shape=SHAPE,
+                         max_wait_ms=50.0)
+    try:
+        imgs = _images(5)
+        pend = [eng.submit(im) for im in imgs]
+        for p in pend:
+            assert p.event.wait(5.0)
+            assert p.error is None
+        got = np.stack([p.logits for p in pend])
+        want = np.asarray(_toy_fwd(imgs))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        assert eng.stats["requests"] == 5
+        assert eng.stats["batches"] == 2
+        # 5 rows over two 4-row batches -> 3 padded
+        assert eng.stats["padded_rows"] == 3
+    finally:
+        eng.close()
+
+
+def test_single_request_flushes_on_timeout():
+    eng = BatchingEngine(_toy_fwd, batch_size=8, image_shape=SHAPE,
+                         max_wait_ms=10.0)
+    try:
+        p = eng.submit(_images(1)[0])
+        assert p.event.wait(5.0), "timeout flush never fired"
+        np.testing.assert_allclose(
+            p.logits, np.asarray(_toy_fwd(_images(1)))[0], rtol=1e-6
+        )
+    finally:
+        eng.close()
+
+
+def test_engine_error_propagates():
+    def bad_fwd(x):
+        raise RuntimeError("boom")
+
+    eng = BatchingEngine(bad_fwd, batch_size=2, image_shape=SHAPE,
+                         max_wait_ms=10.0)
+    try:
+        p = eng.submit(_images(1)[0])
+        assert p.event.wait(5.0)
+        assert p.error is not None and "boom" in str(p.error)
+    finally:
+        eng.close()
+
+
+def test_wrong_shape_rejected():
+    eng = BatchingEngine(_toy_fwd, batch_size=2, image_shape=SHAPE,
+                         max_wait_ms=10.0)
+    try:
+        bad = np.zeros((4, 4, 3), np.float32)
+        try:
+            eng.submit(bad)
+            assert False, "shape mismatch accepted"
+        except ValueError:
+            pass
+    finally:
+        eng.close()
+
+
+def _start_http(eng, info):
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _make_handler(eng, info)
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_predict_npy_json_topk_and_health():
+    eng = BatchingEngine(_toy_fwd, batch_size=4, image_shape=SHAPE,
+                         max_wait_ms=10.0)
+    httpd, base = _start_http(eng, {"arch": "toy"})
+    try:
+        imgs = _images(3, seed=1)
+        want = np.asarray(_toy_fwd(imgs))
+
+        # npy batch
+        import io
+
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        code, out = _post(base + "/predict", buf.getvalue(),
+                          "application/x-npy")
+        assert code == 200
+        np.testing.assert_allclose(
+            np.asarray(out["predictions"]), want, rtol=1e-5
+        )
+
+        # JSON single instance (3-D -> auto-batched)
+        body = json.dumps({"instances": imgs[0].tolist()}).encode()
+        code, out = _post(base + "/predict", body, "application/json")
+        assert code == 200
+        np.testing.assert_allclose(
+            np.asarray(out["predictions"])[0], want[0], rtol=1e-5
+        )
+
+        # topk
+        buf = io.BytesIO()
+        np.save(buf, imgs[:1])
+        code, out = _post(base + "/predict?topk=2", buf.getvalue(),
+                          "application/x-npy")
+        assert code == 200
+        order = np.argsort(-want[0])[:2]
+        assert out["topk"][0]["classes"] == order.tolist()
+
+        # bad body -> 400
+        try:
+            _post(base + "/predict", b"not json", "application/json")
+            assert False, "bad body accepted"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # health + stats
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(base + "/stats", timeout=10) as r:
+            assert json.loads(r.read())["requests"] >= 4
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        eng.close()
+
+
+def test_http_with_real_mrlal_engine():
+    """End-to-end: tiny MRLA-light resnet through make_engine_forward +
+    the batching server matches the direct engine forward."""
+    import jax
+
+    from mrla_tpu.models.resnet_mrla_light import ResNetMRLALight
+    from mrla_tpu.serving.cli import make_engine_forward
+
+    model = ResNetMRLALight(layers=[1, 1], num_classes=7)
+    variables = jax.device_get(
+        model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
+    )
+    fwd = make_engine_forward(
+        "resnet50_mrlal", model, variables, microbatch=0, num_classes=7
+    )
+    eng = BatchingEngine(fwd, batch_size=4, image_shape=(16, 16, 3),
+                         max_wait_ms=10.0)
+    httpd, base = _start_http(eng, {"arch": "tiny_mrlal"})
+    try:
+        imgs = np.random.default_rng(2).standard_normal(
+            (2, 16, 16, 3)
+        ).astype(np.float32)
+        want = np.asarray(fwd(np.concatenate([imgs, imgs], axis=0)))[:2]
+
+        import io
+
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        code, out = _post(base + "/predict", buf.getvalue(),
+                          "application/x-npy")
+        assert code == 200
+        got = np.asarray(out["predictions"])
+        assert got.shape == (2, 7)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        eng.close()
