@@ -81,12 +81,21 @@ class BatchingEngine:
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0}
         self._stop = threading.Event()
+        # two-stage pipeline: the flusher DISPATCHES batches (jax returns a
+        # device-array future immediately — async dispatch) and the
+        # completer fetches results and wakes waiters, so batch N+1 runs on
+        # the device while batch N's logits stream back to the host
+        self._done: "queue.Queue" = queue.Queue(maxsize=2)
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True)
         self._thread.start()
+        self._completer.start()
 
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        self._completer.join(timeout=5)
 
     def submit(self, image: np.ndarray) -> _Pending:
         if image.shape != self.image_shape:
@@ -129,10 +138,25 @@ class BatchingEngine:
             self.stats["batches"] += 1
             self.stats["padded_rows"] += self.batch_size - n
             try:
-                logits = np.asarray(self.fwd(x))  # fetch -> host
+                out = self.fwd(x)  # async dispatch: returns immediately
+            except Exception as e:  # trace/shape errors surface here
+                for p in batch:
+                    p.error = e
+                    p.event.set()
+                continue
+            self._done.put((batch, out))  # bounded: backpressure at 2 deep
+
+    def _complete_loop(self):
+        while not (self._stop.is_set() and self._done.empty()):
+            try:
+                batch, out = self._done.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                logits = np.asarray(out)  # device fetch -> host
                 for i, p in enumerate(batch):
                     p.logits = logits[i]
-            except Exception as e:  # surface engine errors to the callers
+            except Exception as e:  # surface device errors to the callers
                 for p in batch:
                     p.error = e
             for p in batch:
