@@ -153,9 +153,15 @@ class BatchingEngine:
             except queue.Empty:
                 continue
             try:
-                logits = np.asarray(out)  # device fetch -> host
-                for i, p in enumerate(batch):
-                    p.logits = logits[i]
+                if isinstance(out, (tuple, list)):
+                    # detection export: tuple of pyramid levels, each [B,...]
+                    levels = [np.asarray(o) for o in out]
+                    for i, p in enumerate(batch):
+                        p.logits = tuple(lv[i] for lv in levels)
+                else:
+                    logits = np.asarray(out)  # device fetch -> host
+                    for i, p in enumerate(batch):
+                        p.logits = logits[i]
             except Exception as e:  # surface device errors to the callers
                 for p in batch:
                     p.error = e
@@ -212,6 +218,27 @@ def _make_handler(engine: BatchingEngine, info: dict, timeout_s: float = 120.0):
                     return self._json(504, {"error": "inference timeout"})
                 if p.error is not None:
                     return self._json(500, {"error": str(p.error)})
+
+            if isinstance(pendings[0].logits, tuple):
+                # detection export -> npz: one array per pyramid level
+                n_levels = len(pendings[0].logits)
+                buf = io.BytesIO()
+                np.savez(
+                    buf,
+                    **{
+                        f"level{lv}": np.stack(
+                            [p.logits[lv] for p in pendings]
+                        )
+                        for lv in range(n_levels)
+                    },
+                )
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-npz")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
 
             logits = np.stack([p.logits for p in pendings])
             topk = 0
@@ -284,6 +311,51 @@ def build_server(
     return httpd, beng
 
 
+def build_detect_server(
+    preset: str,
+    det_variables,
+    batch_size: int = 8,
+    image_hw=(800, 1344),
+    microbatch: int = 0,
+    max_wait_ms: float = 5.0,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    timeout_s: float = 120.0,
+    input_dtype=None,
+):
+    """Detection-export daemon: POST /predict (npy [N,H,W,3]) ->
+    application/x-npz with one `level{i}` array per pyramid level.
+    `preset` is a detect.configs.PRESETS key; `det_variables` the
+    MRLABackboneFPN tree (convert_mmdet_state_dict / grafted)."""
+    from mrla_tpu.detect.configs import PRESETS
+    from mrla_tpu.serving import detect_forward, prepare_detect_params
+
+    p = PRESETS[preset]
+    layers = tuple(p.backbone_layers)
+    sp = prepare_detect_params(jax.device_get(det_variables), layers=layers)
+
+    def fwd(x):
+        return detect_forward(
+            sp, x, layers=layers, num_outs=p.num_outs,
+            start_level=p.start_level, add_extra_convs=p.add_extra_convs,
+            microbatch=microbatch,
+        )
+
+    if input_dtype is None:
+        import ml_dtypes
+
+        input_dtype = ml_dtypes.bfloat16
+    h, w = image_hw
+    beng = BatchingEngine(fwd, batch_size, (h, w, 3), max_wait_ms,
+                          input_dtype=input_dtype)
+    info = {"preset": preset, "batch_size": batch_size,
+            "image_hw": [h, w], "num_outs": p.num_outs}
+    httpd = ThreadingHTTPServer(
+        (host, port), _make_handler(beng, info, timeout_s=timeout_s)
+    )
+    return httpd, beng
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     p = argparse.ArgumentParser("mrla_tpu serving daemon")
     p.add_argument("-a", "--arch", default="resnet50_mrlal")
@@ -298,9 +370,62 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--timeout-s", type=float, default=120.0,
                    help="per-request inference wait before 504")
+    p.add_argument("--detect-preset", default=None,
+                   help="serve detection feature export instead of "
+                        "classification (a detect.configs.PRESETS key; "
+                        "responses are npz pyramids)")
+    p.add_argument("--image-hw", type=int, nargs=2, default=(800, 1344),
+                   metavar=("H", "W"),
+                   help="detection input size (COCO eval contract)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
+
+    if args.detect_preset:
+        from mrla_tpu.detect.configs import PRESETS
+
+        preset = PRESETS[args.detect_preset]
+        if args.torch:
+            import torch
+
+            from mrla_tpu.ckpt import convert_mmdet_state_dict
+
+            sd = torch.load(args.torch, map_location="cpu")
+            sd = sd.get("state_dict", sd)
+            det_vars = convert_mmdet_state_dict(
+                sd, num_laterals=4 - preset.start_level
+            )
+        else:
+            from mrla_tpu.detect.configs import build_backbone_fpn
+
+            print("warning: no --torch given, serving RANDOM weights",
+                  flush=True)
+            m = build_backbone_fpn(args.detect_preset)
+            h, w = args.image_hw
+            det_vars = jax.device_get(
+                m.init(jax.random.PRNGKey(0),
+                       np.zeros((1, h, w, 3), np.float32), train=False)
+            )
+        httpd, beng = build_detect_server(
+            args.detect_preset, det_vars, batch_size=args.batch_size,
+            image_hw=tuple(args.image_hw), microbatch=args.microbatch or 0,
+            max_wait_ms=args.max_wait_ms, host=args.host, port=args.port,
+            timeout_s=args.timeout_s,
+        )
+        h, w = args.image_hw
+        warm = np.zeros((args.batch_size, h, w, 3), beng.input_dtype)
+        [np.asarray(o) for o in beng.fwd(warm)]
+        print(f"serving {args.detect_preset} export on "
+              f"{args.host}:{args.port} (batch {args.batch_size}, "
+              f"{h}x{w})", flush=True)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            beng.close()
+            httpd.server_close()
+        return
 
     from mrla_tpu.models import create_model
     from mrla_tpu.serving.cli import _load_variables

@@ -160,6 +160,52 @@ def test_http_predict_npy_json_topk_and_health():
         eng.close()
 
 
+def test_http_detect_export_npz():
+    """Detection mode: tuple-of-pyramids results come back as npz levels
+    matching the direct engine forward."""
+    import io
+
+    import jax
+
+    from mrla_tpu.detect import MRLABackboneFPN
+    from mrla_tpu.serving import detect_forward, prepare_detect_params
+
+    layers = (1, 1, 1, 1)
+    m = MRLABackboneFPN(layers=layers)
+    v = jax.device_get(
+        m.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    )
+    sp = prepare_detect_params(v, layers=layers, dtype=jnp.float32)
+    fwd = lambda x: detect_forward(sp, jnp.asarray(x), layers=layers)
+
+    eng = BatchingEngine(fwd, batch_size=2, image_shape=(64, 64, 3),
+                         max_wait_ms=10.0)
+    httpd, base = _start_http(eng, {"preset": "tiny"})
+    try:
+        imgs = np.random.default_rng(3).standard_normal(
+            (2, 64, 64, 3)
+        ).astype(np.float32)
+        want = [np.asarray(o) for o in fwd(imgs)]
+
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        req = urllib.request.Request(
+            base + "/predict", data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/x-npy"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "application/x-npz"
+            got = np.load(io.BytesIO(r.read()))
+        assert set(got.files) == {f"level{i}" for i in range(len(want))}
+        for i, w in enumerate(want):
+            np.testing.assert_allclose(got[f"level{i}"], w, atol=1e-5)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        eng.close()
+
+
 def test_http_with_real_mrlal_engine():
     """End-to-end: tiny MRLA-light resnet through make_engine_forward +
     the batching server matches the direct engine forward."""
