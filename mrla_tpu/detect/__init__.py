@@ -1,7 +1,9 @@
-"""Detection-side export: MRLA backbone feature pyramid + FPN neck.
+"""Detection subsystem: MRLA backbone pyramid, FPN neck, and RetinaNet.
 
-Scope per BASELINE.json: the backbone + FPN feature export in jitted XLA,
-matching the MMDetection backbone contract — not a full detection framework.
+The feature export (backbone + FPN, the BASELINE.json scope) feeds any
+downstream detector; detect/retinanet.py additionally completes the
+reference's RetinaNet graft natively (head + anchors + decode + NMS) so
+the retinanet_r50mrlal_fpn_1x_coco preset runs end-to-end on TPU.
 """
 
 from mrla_tpu.detect.fpn import FPN
@@ -10,10 +12,36 @@ from mrla_tpu.detect.backbone import (
     freeze_mask,
     load_backbone_from_classification,
 )
+from mrla_tpu.detect.anchors import (
+    base_anchors,
+    grid_anchors,
+    num_base_anchors,
+    pyramid_anchors,
+)
+from mrla_tpu.detect.bbox import (
+    bbox2delta,
+    bbox_overlaps,
+    delta2bbox,
+    multiclass_nms_fixed,
+    nms_fixed,
+)
+from mrla_tpu.detect.retinanet import RetinaHead, RetinaNet, get_bboxes
 
 __all__ = [
     "FPN",
     "MRLABackboneFPN",
     "freeze_mask",
     "load_backbone_from_classification",
+    "base_anchors",
+    "grid_anchors",
+    "num_base_anchors",
+    "pyramid_anchors",
+    "bbox2delta",
+    "bbox_overlaps",
+    "delta2bbox",
+    "multiclass_nms_fixed",
+    "nms_fixed",
+    "RetinaHead",
+    "RetinaNet",
+    "get_bboxes",
 ]
