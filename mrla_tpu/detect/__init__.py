@@ -26,6 +26,24 @@ from mrla_tpu.detect.bbox import (
     nms_fixed,
 )
 from mrla_tpu.detect.retinanet import RetinaHead, RetinaNet, get_bboxes
+from mrla_tpu.detect.targets import anchor_targets, max_iou_assign
+from mrla_tpu.detect.losses import retinanet_loss, sigmoid_focal_loss
+from mrla_tpu.detect.roi_align import (
+    batched_roi_align,
+    map_roi_levels,
+    roi_align_multilevel,
+)
+from mrla_tpu.detect.two_stage import (
+    FasterRCNN,
+    FCNMaskHead,
+    MaskRCNN,
+    RPNHead,
+    Shared2FCBBoxHead,
+    init_detector,
+    rcnn_detections,
+    rpn_proposals,
+    two_stage_predict,
+)
 
 __all__ = [
     "FPN",
@@ -44,4 +62,20 @@ __all__ = [
     "RetinaHead",
     "RetinaNet",
     "get_bboxes",
+    "anchor_targets",
+    "max_iou_assign",
+    "retinanet_loss",
+    "sigmoid_focal_loss",
+    "batched_roi_align",
+    "map_roi_levels",
+    "roi_align_multilevel",
+    "FasterRCNN",
+    "FCNMaskHead",
+    "MaskRCNN",
+    "RPNHead",
+    "Shared2FCBBoxHead",
+    "init_detector",
+    "rcnn_detections",
+    "rpn_proposals",
+    "two_stage_predict",
 ]

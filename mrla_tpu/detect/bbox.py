@@ -147,9 +147,10 @@ def multiclass_nms_fixed(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Class-wise NMS over one image (mmdet ``multiclass_nms`` semantics).
 
-    boxes [N, 4] (class-agnostic, RetinaNet style), scores [N, C] sigmoid
-    probabilities.  Each (box, class) pair with score > score_thr is a
-    candidate; NMS never suppresses across classes (implemented by
+    boxes [N, 4] (class-agnostic, RetinaNet style) or [N, C, 4]
+    (class-specific, R-CNN ``reg_class_agnostic=False`` style); scores
+    [N, C] probabilities.  Each (box, class) pair with score > score_thr
+    is a candidate; NMS never suppresses across classes (implemented by
     offsetting box coordinates per class — mmdet's batched_nms trick).
 
     mmdet filters candidates by score_thr (dynamic shape); the fixed-shape
@@ -167,7 +168,10 @@ def multiclass_nms_fixed(
     k = min(pre_nms_top_n, n * num_classes)
     top_scores, top_idx = jax.lax.top_k(flat_scores, k)
     labels = (top_idx % num_classes).astype(jnp.int32)
-    top_boxes = boxes[top_idx // num_classes]  # [K, 4]
+    if boxes.ndim == 3:
+        top_boxes = boxes[top_idx // num_classes, labels]  # [K, 4]
+    else:
+        top_boxes = boxes[top_idx // num_classes]  # [K, 4]
     # class-offset so cross-class pairs never overlap
     span = jnp.max(boxes) + 1.0
     offset_boxes = top_boxes + (labels.astype(boxes.dtype) * span)[:, None]
