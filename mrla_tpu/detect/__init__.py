@@ -44,6 +44,15 @@ from mrla_tpu.detect.two_stage import (
     rpn_proposals,
     two_stage_predict,
 )
+from mrla_tpu.detect.coco_eval import evaluate_detections
+from mrla_tpu.detect.two_stage_train import (
+    faster_rcnn_train_loss,
+    mask_loss,
+    random_sample,
+    rcnn_loss,
+    rcnn_targets,
+    rpn_loss,
+)
 
 __all__ = [
     "FPN",
@@ -78,4 +87,11 @@ __all__ = [
     "rcnn_detections",
     "rpn_proposals",
     "two_stage_predict",
+    "faster_rcnn_train_loss",
+    "mask_loss",
+    "random_sample",
+    "rcnn_loss",
+    "rcnn_targets",
+    "rpn_loss",
+    "evaluate_detections",
 ]

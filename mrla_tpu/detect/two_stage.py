@@ -255,6 +255,23 @@ class FasterRCNN(nn.Module):
         """[B, M, 14, 14, C] pooled features -> [B, M, 28, 28, K] logits."""
         return self.mask_head(mask_roi_feats)
 
+    def rpn_forward(self, x: jax.Array, train: bool = False):
+        """First stage only: (pyramid feats P2..P6, per-level rpn outs)."""
+        feats = self.extract_feats(x, train)
+        return feats, tuple(self.rpn_head(f) for f in feats)
+
+    def bbox_forward(self, feats, rois: jax.Array, roi_valid: jax.Array):
+        """Second stage on GIVEN rois (the training path pools only the
+        sampled rois): (cls [B, R, K+1], reg [B, R, K*4])."""
+        roi_feats = batched_roi_align(
+            [f.astype(jnp.float32) for f in feats[:4]],
+            rois,
+            roi_valid,
+            strides=ROI_STRIDES,
+            out_size=7,
+        )
+        return self.bbox_head(roi_feats.astype(self.dtype))
+
     def __call__(
         self,
         x: jax.Array,

@@ -1,0 +1,362 @@
+"""Two-stage training: RPN loss, random sampling, R-CNN targets/losses.
+
+Implements the reference's train_cfg
+(mmdetection/configs/_base_/models/faster_rcnn_r50mrlal_fpn.py:58-96,
+mask_rcnn_r50mrlal_fpn.py:95-110) natively:
+
+  * RPN: MaxIoUAssigner(pos .7 / neg .3 / min_pos .3, low-quality ON),
+    RandomSampler(256, pos_fraction .5), binary sigmoid CE + L1, both
+    normalized by the sampled count;
+  * R-CNN: proposals ∪ gt (``add_gt_as_proposals``),
+    MaxIoUAssigner(.5/.5/.5, low-quality OFF for faster / ON for mask),
+    RandomSampler(512, pos_fraction .25), softmax CE over K+1
+    (background last) + class-specific L1 on encoded deltas
+    (stds [.1,.1,.2,.2]), normalized by the sampled count;
+  * Mask: BCE on the positive rois' own-class 28×28 logits against gt
+    masks cropped+resized to the roi (mmdet crops with cv2 on CPU; here
+    the crop-resize is the same aligned bilinear RoIAlign used
+    everywhere — a documented, numerically-close equivalent).
+
+Fixed-shape discipline: samplers never produce data-dependent sizes.  A
+random priority is assigned per candidate, candidates are sorted
+positives-first, and a static ``num`` prefix is gathered; rows past the
+true sampled count carry zero weight.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mrla_tpu.detect.anchors import pyramid_anchors
+from mrla_tpu.detect.bbox import bbox2delta
+from mrla_tpu.detect.roi_align import roi_align_multilevel
+from mrla_tpu.detect.targets import max_iou_assign
+from mrla_tpu.detect.two_stage import RCNN_TARGET_STDS
+
+
+def _rank_among(mask: jax.Array, rand: jax.Array) -> jax.Array:
+    """Rank of each True entry among True entries, randomly permuted
+    (False entries get ranks past every True one)."""
+    key = jnp.where(mask, rand, 2.0)
+    order = jnp.argsort(key)
+    n = mask.shape[0]
+    ranks = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return ranks
+
+
+def random_sample(
+    key: jax.Array,
+    pos: jax.Array,
+    neg: jax.Array,
+    num: int,
+    pos_fraction: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """mmdet RandomSampler: up to ``num·pos_fraction`` random positives,
+    negatives fill the remainder (``neg_pos_ub=-1``).  Returns boolean
+    (pos_sampled, neg_sampled) masks."""
+    kp, kn = jax.random.split(key)
+    n = pos.shape[0]
+    pos_budget = jnp.minimum(pos.sum(), int(num * pos_fraction))
+    pos_s = pos & (
+        _rank_among(pos, jax.random.uniform(kp, (n,))) < pos_budget
+    )
+    neg_budget = num - pos_s.sum()
+    neg_s = neg & (
+        _rank_among(neg, jax.random.uniform(kn, (n,))) < neg_budget
+    )
+    return pos_s, neg_s
+
+
+def rpn_loss(
+    level_outputs: Sequence[Tuple[jax.Array, jax.Array]],
+    gt_boxes: jax.Array,
+    gt_valid: jax.Array,
+    key: jax.Array,
+    strides: Sequence[int] = (4, 8, 16, 32, 64),
+    scales: Sequence[float] = (8.0,),
+    ratios: Sequence[float] = (0.5, 1.0, 2.0),
+    num_samples: int = 256,
+    pos_fraction: float = 0.5,
+    pos_iou_thr: float = 0.7,
+    neg_iou_thr: float = 0.3,
+    min_pos_iou: float = 0.3,
+) -> Dict[str, jax.Array]:
+    """First-stage loss over a batch (class-agnostic objectness + L1)."""
+    strides = strides[: len(level_outputs)]
+    featmap_sizes = [c.shape[1:3] for c, _ in level_outputs]
+    anchors = jnp.concatenate(
+        [
+            jnp.asarray(a)
+            for a in pyramid_anchors(
+                featmap_sizes, strides,
+                octave_base_scale=float(scales[0]),
+                scales_per_octave=len(scales), ratios=ratios,
+            )
+        ],
+        axis=0,
+    )
+    b = level_outputs[0][0].shape[0]
+    cls_logits = jnp.concatenate(
+        [c.reshape(b, -1).astype(jnp.float32) for c, _ in level_outputs],
+        axis=1,
+    )  # [B, N]
+    bbox_preds = jnp.concatenate(
+        [r.reshape(b, -1, 4).astype(jnp.float32) for _, r in level_outputs],
+        axis=1,
+    )
+
+    def one(k, gb, gv):
+        assigned = max_iou_assign(
+            anchors, gb, gv, pos_iou_thr, neg_iou_thr, min_pos_iou
+        )
+        pos_s, neg_s = random_sample(
+            k, assigned > 0, assigned == 0, num_samples, pos_fraction
+        )
+        gt_idx = jnp.maximum(assigned - 1, 0)
+        target = pos_s.astype(jnp.float32)
+        deltas = bbox2delta(anchors, gb[gt_idx])
+        return target, (pos_s | neg_s), deltas, pos_s
+
+    keys = jax.random.split(key, b)
+    target, samp_w, deltas, pos_s = jax.vmap(one)(keys, gt_boxes, gt_valid)
+    avg = jnp.maximum(samp_w.sum().astype(jnp.float32), 1.0)
+    ce = (
+        jnp.maximum(cls_logits, 0)
+        - cls_logits * target
+        + jnp.log1p(jnp.exp(-jnp.abs(cls_logits)))
+    )
+    loss_cls = (ce * samp_w).sum() / avg
+    loss_bbox = (
+        jnp.abs(bbox_preds - deltas).sum(-1) * pos_s
+    ).sum() / avg
+    return {
+        "loss_rpn_cls": loss_cls,
+        "loss_rpn_bbox": loss_bbox,
+        "num_pos": pos_s.sum(),
+    }
+
+
+def rcnn_targets(
+    key: jax.Array,
+    proposals: jax.Array,
+    proposal_valid: jax.Array,
+    gt_boxes: jax.Array,
+    gt_labels: jax.Array,
+    gt_valid: jax.Array,
+    num_classes: int,
+    num: int = 512,
+    pos_fraction: float = 0.25,
+    pos_iou_thr: float = 0.5,
+    neg_iou_thr: float = 0.5,
+    min_pos_iou: float = 0.5,
+    match_low_quality: bool = False,
+    add_gt_as_proposals: bool = True,
+    target_stds=RCNN_TARGET_STDS,
+) -> Dict[str, jax.Array]:
+    """Second-stage sampled rois + targets for a batch.
+
+    Returns dict of rois [B, num, 4], labels [B, num] (``num_classes`` =
+    background), label_weights, bbox_targets [B, num, 4], bbox_weights —
+    the sampled set is gathered positives-first into the static ``num``
+    prefix, so the mask branch can slice its positive rois from the
+    front.
+    """
+
+    def one(k, props, pvalid, gb, gl, gv):
+        if add_gt_as_proposals:
+            rois = jnp.concatenate([gb, props], axis=0)
+            valid = jnp.concatenate([gv, pvalid], axis=0)
+        else:
+            rois, valid = props, pvalid
+        assigned = max_iou_assign(
+            rois, gb, gv, pos_iou_thr, neg_iou_thr, min_pos_iou,
+            match_low_quality=match_low_quality,
+        )
+        assigned = jnp.where(valid, assigned, -1)
+        pos = assigned > 0
+        neg = assigned == 0
+        ks, kg = jax.random.split(k)
+        pos_s, neg_s = random_sample(ks, pos, neg, num, pos_fraction)
+        # gather a static prefix: positives first, then negatives
+        order_key = jnp.where(
+            pos_s,
+            jax.random.uniform(kg, pos_s.shape),
+            jnp.where(neg_s, 1.0 + jax.random.uniform(kg, pos_s.shape), 3.0),
+        )
+        take = jnp.argsort(order_key)[:num]
+        rois_t = rois[take]
+        assigned_t = assigned[take]
+        sampled_t = (pos_s | neg_s)[take]
+        pos_t = pos_s[take]
+        gt_idx = jnp.maximum(assigned_t - 1, 0)
+        labels = jnp.where(pos_t, gl[gt_idx], num_classes).astype(jnp.int32)
+        deltas = bbox2delta(rois_t, gb[gt_idx], stds=target_stds)
+        return {
+            "rois": rois_t,
+            "roi_valid": sampled_t,
+            "labels": labels,
+            "label_weights": sampled_t.astype(jnp.float32),
+            "bbox_targets": jnp.where(pos_t[:, None], deltas, 0.0),
+            "bbox_weights": pos_t.astype(jnp.float32),
+            "gt_index": gt_idx,
+        }
+
+    b = proposals.shape[0]
+    keys = jax.random.split(key, b)
+    return jax.vmap(one)(
+        keys, proposals, proposal_valid, gt_boxes, gt_labels, gt_valid
+    )
+
+
+def rcnn_loss(
+    cls_logits: jax.Array,
+    bbox_preds: jax.Array,
+    targets: Dict[str, jax.Array],
+) -> Dict[str, jax.Array]:
+    """Softmax CE (background = last class) + class-specific L1.
+
+    cls_logits [B, R, K+1], bbox_preds [B, R, K*4] from
+    ``FasterRCNN.bbox_forward`` on ``targets['rois']``.
+    """
+    num_classes = cls_logits.shape[-1] - 1
+    labels = targets["labels"]
+    lw = targets["label_weights"]
+    avg = jnp.maximum(lw.sum(), 1.0)
+    logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), -1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    loss_cls = (nll * lw).sum() / avg
+    reg = bbox_preds.astype(jnp.float32).reshape(
+        bbox_preds.shape[:-1] + (num_classes, 4)
+    )
+    lab = jnp.minimum(labels, num_classes - 1)  # bg rows weigh 0 anyway
+    reg_own = jnp.take_along_axis(
+        reg, lab[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+    loss_bbox = (
+        jnp.abs(reg_own - targets["bbox_targets"]).sum(-1)
+        * targets["bbox_weights"]
+    ).sum() / avg
+    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+
+
+def mask_loss(
+    mask_logits: jax.Array,
+    targets: Dict[str, jax.Array],
+    gt_masks: jax.Array,
+    mask_size: int = 28,
+) -> jax.Array:
+    """BCE on each positive roi's own-class mask logits vs the gt mask
+    cropped+resized to the roi (aligned bilinear, then 0.5-binarized —
+    mmdet mask_target semantics).
+
+    mask_logits [B, R, S, S, K] from ``mask_forward`` on the SAME rois as
+    ``targets`` (positives occupy the front of the prefix); gt_masks
+    [B, G, H, W] in {0,1} at image resolution.
+    """
+
+    def crop(masks_one, rois_one, gt_idx_one):
+        def per_roi(roi, gi):
+            m = masks_one[gi][:, :, None].astype(jnp.float32)  # [H, W, 1]
+            out = roi_align_multilevel(
+                [m], roi[None], strides=(1,), out_size=mask_size,
+                finest_scale=1e9,
+            )
+            return out[0, :, :, 0]
+
+        return jax.vmap(per_roi)(rois_one, gt_idx_one)
+
+    mt = jax.vmap(crop)(
+        gt_masks, targets["rois"], targets["gt_index"]
+    )  # [B, R, S, S]
+    mt = (mt >= 0.5).astype(jnp.float32)
+    labels = jnp.minimum(
+        targets["labels"], mask_logits.shape[-1] - 1
+    ).astype(jnp.int32)
+    own = jnp.take_along_axis(
+        mask_logits.astype(jnp.float32),
+        labels[..., None, None, None],
+        axis=-1,
+    )[..., 0]  # [B, R, S, S]
+    ce = (
+        jnp.maximum(own, 0) - own * mt + jnp.log1p(jnp.exp(-jnp.abs(own)))
+    ).mean(axis=(-1, -2))
+    w = targets["bbox_weights"]  # positives only
+    return (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def faster_rcnn_train_loss(
+    model,
+    variables,
+    x: jax.Array,
+    gt_boxes: jax.Array,
+    gt_labels: jax.Array,
+    gt_valid: jax.Array,
+    key: jax.Array,
+    train: bool = True,
+    gt_masks: Optional[jax.Array] = None,
+    rcnn_num: int = 512,
+    rpn_num: int = 256,
+) -> Tuple[jax.Array, Dict[str, jax.Array], Dict]:
+    """One training forward: RPN loss + sampled R-CNN loss (+ mask loss).
+
+    Returns (total_loss, loss_dict, mutated_variables) — run under
+    ``jax.value_and_grad`` w.r.t. ``variables['params']``.
+    """
+    from mrla_tpu.detect.two_stage import FasterRCNN, rpn_proposals
+
+    k_rpn, k_rcnn = jax.random.split(key)
+    mutable = ["batch_stats"] if train else []
+    (feats, rpn_outs), mut = model.apply(
+        variables, x, train, method=FasterRCNN.rpn_forward, mutable=mutable
+    )
+    losses = rpn_loss(
+        rpn_outs, gt_boxes, gt_valid, k_rpn, num_samples=rpn_num
+    )
+    proposals, _, prop_valid = rpn_proposals(
+        jax.lax.stop_gradient(rpn_outs),
+        (x.shape[1], x.shape[2]),
+        nms_pre=model.rpn_nms_pre,
+        max_per_img=model.num_proposals,
+        iou_threshold=0.7,
+    )
+    targets = rcnn_targets(
+        k_rcnn, proposals, prop_valid, gt_boxes, gt_labels, gt_valid,
+        model.num_classes, num=rcnn_num,
+        match_low_quality=model.with_mask,  # faster: False; mask: True
+    )
+    cls, reg = model.apply(
+        variables, feats, targets["rois"], targets["roi_valid"],
+        method=FasterRCNN.bbox_forward,
+    )
+    losses.update(rcnn_loss(cls, reg, targets))
+    total = (
+        losses["loss_rpn_cls"]
+        + losses["loss_rpn_bbox"]
+        + losses["loss_cls"]
+        + losses["loss_bbox"]
+    )
+    if model.with_mask and gt_masks is not None:
+        from mrla_tpu.detect.roi_align import batched_roi_align
+        from mrla_tpu.detect.two_stage import ROI_STRIDES
+
+        mask_feats = batched_roi_align(
+            [f.astype(jnp.float32) for f in feats[:4]],
+            targets["rois"],
+            targets["roi_valid"],
+            strides=ROI_STRIDES,
+            out_size=14,
+        )
+        mask_logits = model.apply(
+            variables,
+            mask_feats.astype(model.dtype),
+            method=FasterRCNN.mask_forward,
+        )
+        losses["loss_mask"] = mask_loss(mask_logits, targets, gt_masks)
+        total = total + losses["loss_mask"]
+    losses["loss"] = total
+    return total, losses, mut

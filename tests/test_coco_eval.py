@@ -1,0 +1,106 @@
+"""COCO-style mAP evaluator: hand-computed oracles.
+
+The pycocotools protocol (score-ordered greedy matching, 101-point
+interpolated AP, mean over 0.50:0.05:0.95) is pinned with scenarios small
+enough to compute by hand.
+"""
+
+import numpy as np
+
+from mrla_tpu.detect.coco_eval import evaluate_detections, _interp_ap
+
+
+def test_interp_ap_perfect_and_empty():
+    # two detections, both hits, 2 gts -> precision 1 at every recall
+    assert _interp_ap(np.array([0.9, 0.8]), np.array([True, True]), 2) == 1.0
+    # no detections -> AP 0
+    assert _interp_ap(np.zeros(0), np.zeros(0, bool), 3) == 0.0
+    # no gt -> NaN (class absent)
+    assert np.isnan(_interp_ap(np.array([0.9]), np.array([False]), 0))
+
+
+def test_interp_ap_half():
+    """1 hit then 1 miss over 2 gts: recall caps at 0.5 with precision 1,
+    beyond that precision 0 -> AP = 51/101 (grid points 0.00..0.50)."""
+    ap = _interp_ap(np.array([0.9, 0.8]), np.array([True, False]), 2)
+    np.testing.assert_allclose(ap, 51 / 101, rtol=1e-6)
+
+
+def test_evaluate_perfect_detections():
+    gts = [
+        {"boxes": np.array([[0.0, 0, 10, 10], [20.0, 20, 40, 40]]),
+         "labels": np.array([0, 1])},
+    ]
+    preds = [
+        {"boxes": gts[0]["boxes"].copy(),
+         "labels": np.array([0, 1]),
+         "scores": np.array([0.9, 0.8])},
+    ]
+    res = evaluate_detections(preds, gts, num_classes=3)
+    assert res["mAP"] == 1.0 and res["AP50"] == 1.0 and res["AP75"] == 1.0
+    assert set(res["per_class"]) == {0, 1}  # class 2 absent -> excluded
+
+
+def test_evaluate_localization_threshold_sensitivity():
+    """A detection at IoU ~0.613 counts at thr .5/.55/.6 but not above."""
+    gt_box = np.array([[0.0, 0, 10, 10]])
+    # shift by 2.4 in x: inter 7.6*10=76, union 124 -> IoU ~0.6129
+    det_box = np.array([[2.4, 0, 12.4, 10]])
+    gts = [{"boxes": gt_box, "labels": np.array([0])}]
+    preds = [{"boxes": det_box, "labels": np.array([0]),
+              "scores": np.array([0.9])}]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    assert res["AP50"] == 1.0
+    assert res["AP@0.60"] == 1.0
+    assert res["AP@0.65"] == 0.0
+    assert res["AP75"] == 0.0
+    # mAP = 3 passing thresholds / 10
+    np.testing.assert_allclose(res["mAP"], 0.3, atol=1e-6)
+
+
+def test_evaluate_greedy_matches_best_iou_gt():
+    """Each detection takes the unmatched gt with the HIGHEST IoU: the
+    top-scored det overlaps both gts but must take gt2 (IoU .857 > .833),
+    leaving gt1 for the exact second det — both TPs even at thr 0.80.
+    (Worst-IoU matching would leave det2 with only gt2 at IoU .714 -> FP.)
+    """
+    gts = [{
+        "boxes": np.array([[0.0, 0, 10, 10], [0.0, 0, 14, 10]]),
+        "labels": np.array([0, 0]),
+    }]
+    preds = [{
+        "boxes": np.array([[0.0, 0, 12, 10], [0.0, 0, 10, 10]]),
+        "labels": np.array([0, 0]),
+        "scores": np.array([0.9, 0.8]),
+    }]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    assert res["AP@0.80"] == 1.0
+    # a gt can be matched only once: a third duplicate detection adds a
+    # FP after full recall, which the envelope absorbs (AP unchanged)
+    preds[0]["boxes"] = np.vstack([preds[0]["boxes"],
+                                   [[0.0, 0, 10.1, 10]]])
+    preds[0]["labels"] = np.array([0, 0, 0])
+    preds[0]["scores"] = np.array([0.9, 0.8, 0.7])
+    res2 = evaluate_detections(preds, gts, num_classes=1)
+    assert res2["AP@0.80"] == 1.0
+
+
+def test_evaluate_cross_image_accumulation():
+    """Score ordering is GLOBAL across images (COCOeval accumulates per
+    class over the whole dataset)."""
+    gts = [
+        {"boxes": np.array([[0.0, 0, 10, 10]]), "labels": np.array([0])},
+        {"boxes": np.array([[0.0, 0, 10, 10]]), "labels": np.array([0])},
+    ]
+    preds = [
+        # image 0: confident FP (wrong place)
+        {"boxes": np.array([[50.0, 50, 60, 60]]),
+         "labels": np.array([0]), "scores": np.array([0.95])},
+        # image 1: less confident TP
+        {"boxes": np.array([[0.0, 0, 10, 10]]),
+         "labels": np.array([0]), "scores": np.array([0.5])},
+    ]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    # sequence by score: FP, TP -> recall .5 at precision .5; AP =
+    # mean over grid 0..0.5 of 0.5 -> 51 grid points * .5 / 101
+    np.testing.assert_allclose(res["AP50"], 0.5 * 51 / 101, atol=1e-6)

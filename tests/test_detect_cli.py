@@ -1,0 +1,152 @@
+"""Detection trainer CLI + COCO-json loader.
+
+Drives `python -m mrla_tpu.detect.train_cli` in-process on tiny configs:
+synthetic squares for retinanet and faster presets, and a generated
+COCO-format dataset for the loader path.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mrla_tpu.detect.train_cli import main as cli_main
+
+
+def _run(argv):
+    return cli_main(argv)
+
+
+def test_retinanet_cli_synthetic(tmp_path):
+    out = _run([
+        "--preset", "retinanet_r50mrlal_fpn_1x_coco",
+        "--data", "synthetic-detect",
+        "--backbone-layers", "1", "1", "1", "1",
+        "--img-size", "128",
+        "--num-classes", "3",
+        "--max-gt", "4",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--steps-per-epoch", "3",
+        "--eval-steps", "2",
+        "--warmup-iters", "10",
+        "--output-dir", str(tmp_path / "run"),
+    ])
+    assert np.isfinite(out["best_map"])
+    log = (tmp_path / "run" / "log.jsonl").read_text().strip().splitlines()
+    rec = json.loads(log[-1])
+    assert "loss" in rec and np.isfinite(rec["loss"])
+    assert "mAP" in rec
+    assert os.path.exists(tmp_path / "run" / "checkpoint")
+
+
+def test_faster_rcnn_cli_synthetic_and_resume(tmp_path):
+    args = [
+        "--preset", "faster_rcnn_r50mrlal_fpn_1x_coco",
+        "--data", "synthetic-detect",
+        "--backbone-layers", "1", "1", "1", "1",
+        "--img-size", "128",
+        "--num-classes", "3",
+        "--max-gt", "4",
+        "--batch-size", "2",
+        "--steps-per-epoch", "2",
+        "--eval-steps", "1",
+        "--rpn-proposals", "20",
+        "--rcnn-samples", "16",
+        "--warmup-iters", "10",
+        "--output-dir", str(tmp_path / "run"),
+    ]
+    _run(args + ["--epochs", "1"])
+    # resume continues into epoch 2 without re-initializing
+    _run(args + ["--epochs", "2", "--resume", str(tmp_path / "run")])
+    log = (tmp_path / "run" / "log.jsonl").read_text().strip().splitlines()
+    epochs = [json.loads(l)["epoch"] for l in log]
+    assert epochs == [0, 1]
+    for l in log:
+        assert np.isfinite(json.loads(l)["loss"])
+
+
+def _write_tiny_coco(tmp_path, n_imgs=4, size=96):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, annotations = [], []
+    aid = 1
+    for i in range(n_imgs):
+        arr = (rng.rand(size, size, 3) * 60).astype(np.uint8)
+        x0, y0 = rng.randint(4, size // 2, 2)
+        s = rng.randint(16, size // 3)
+        cls_pos = int(rng.randint(0, 2))
+        arr[y0:y0 + s, x0:x0 + s, cls_pos] = 220
+        Image.fromarray(arr).save(img_dir / f"{i:04d}.png")
+        images.append({"id": i, "file_name": f"{i:04d}.png",
+                       "width": size, "height": size})
+        # category ids deliberately sparse (7, 13) to test cat2label
+        annotations.append({
+            "id": aid, "image_id": i,
+            "category_id": [7, 13][cls_pos],
+            "bbox": [float(x0), float(y0), float(s), float(s)],
+            "area": float(s * s), "iscrowd": 0,
+        })
+        aid += 1
+    # one crowd + one degenerate annotation must be filtered
+    annotations.append({"id": aid, "image_id": 0, "category_id": 7,
+                        "bbox": [0, 0, 10, 10], "area": 100, "iscrowd": 1})
+    annotations.append({"id": aid + 1, "image_id": 0, "category_id": 7,
+                        "bbox": [5, 5, 0, 3], "area": 0, "iscrowd": 0})
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 7, "name": "a"}, {"id": 13, "name": "b"}],
+    }
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(ann_file), str(img_dir)
+
+
+def test_coco_loader(tmp_path):
+    from mrla_tpu.data.coco import CocoDetection, coco_batches
+
+    ann, imgs = _write_tiny_coco(tmp_path)
+    ds = CocoDetection(ann, imgs)
+    assert len(ds) == 4
+    assert ds.num_classes == 2
+    assert ds.cat2label == {7: 0, 13: 1}
+    img, boxes, labels = ds.load(0)
+    assert img.dtype == np.uint8 and img.shape == (96, 96, 3)
+    assert boxes.shape[0] == 1  # crowd + degenerate filtered
+    batches = list(coco_batches(ds, batch_size=3, canvas_hw=(64, 96),
+                                max_gt=5, seed=1))
+    assert len(batches) == 2  # 4 imgs -> 3 + ragged 1(+2 pad)
+    b = batches[0]
+    assert b["image"].shape == (3, 64, 96, 3)
+    assert b["gt_boxes"].shape == (3, 5, 4)
+    assert b["gt_valid"].sum() == 3
+    assert b["sample_valid"].all()
+    tail = batches[1]
+    assert tail["sample_valid"].tolist() == [True, False, False]
+    # letterbox: scale = min(64/96, 96/96) = 2/3 -> boxes scaled
+    gv = tail["gt_valid"][0]
+    assert (tail["gt_boxes"][0][gv] <= 96 * 2 / 3 + 1e-5).all()
+
+
+def test_coco_cli_end_to_end(tmp_path):
+    ann, imgs = _write_tiny_coco(tmp_path)
+    out = _run([
+        "--preset", "retinanet_r50mrlal_fpn_1x_coco",
+        "--data", "coco",
+        "--train-ann", ann, "--train-imgs", imgs,
+        "--backbone-layers", "1", "1", "1", "1",
+        "--img-size", "96",
+        "--num-classes", "2",
+        "--max-gt", "4",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--eval-steps", "1",
+        "--warmup-iters", "5",
+        "--output-dir", str(tmp_path / "run"),
+    ])
+    assert np.isfinite(out["best_map"])
