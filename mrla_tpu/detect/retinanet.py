@@ -166,6 +166,11 @@ def get_bboxes(
     Returns (boxes [B, max_per_img, 4], scores [B, max_per_img],
     labels [B, max_per_img] int32, valid [B, max_per_img] bool).
     """
+    # Fusing the detector forward and this decode into ONE XLA program
+    # faults the TPU compiler at COCO shapes (worker crash, observed on
+    # v5e 2026-08-18); the barrier pins the head outputs as materialized
+    # values and costs nothing.
+    level_outputs = jax.lax.optimization_barrier(tuple(level_outputs))
     # strides follow the used pyramid levels: retinanet preset serves P3..P7
     strides = strides[: len(level_outputs)]
     featmap_sizes = [c.shape[1:3] for c, _ in level_outputs]

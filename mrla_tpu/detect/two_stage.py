@@ -95,6 +95,9 @@ def rpn_proposals(
 
     mmdet RPNHead.get_bboxes semantics at fixed shapes; R = max_per_img.
     """
+    # see detect/retinanet.get_bboxes: forward+decode fused in one XLA
+    # program faults the TPU compiler at COCO shapes; barrier is a no-op
+    level_outputs = jax.lax.optimization_barrier(tuple(level_outputs))
     strides = strides[: len(level_outputs)]
     featmap_sizes = [c.shape[1:3] for c, _ in level_outputs]
     # scales=[8] == one octave at base 8 in the shared generator

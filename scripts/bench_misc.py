@@ -251,6 +251,106 @@ def bench_detect_serving(preset="faster_rcnn_r50mrlal_fpn_1x_coco",
               f"{B * iters / dt:.1f} img/s", flush=True)
 
 
+def bench_retinanet_e2e(B=8, H=800, W=1344, iters=20):
+    """FULL RetinaNet at the COCO eval size: backbone+FPN+head+decode+NMS
+    in ONE jitted program (input-perturbed honest scan).  Comparing with
+    the export-only `detect` row isolates the head+NMS cost."""
+    from mrla_tpu.detect.retinanet import RetinaNet, get_bboxes
+
+    model = RetinaNet(layers=(3, 4, 6, 3), dtype=jnp.bfloat16)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False)
+    )(jax.random.key(0), jnp.zeros((1, H, W, 3), jnp.float32))
+    x = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).standard_normal((B, H, W, 3)),
+            jnp.bfloat16,
+        )
+    )
+
+    @jax.jit
+    def run_many(v, x):
+        def body(carry, _):
+            xx = x + (carry * 1e-20).astype(x.dtype)
+            outs = model.apply(v, xx, train=False)
+            boxes, scores, labels, valid = get_bboxes(
+                outs, img_shape=(H, W)
+            )
+            s = (
+                jnp.sum(boxes[:, 0].astype(jnp.float32))
+                + jnp.sum(scores[:, 0])
+            )
+            return s, None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return carry
+
+    float(run_many(variables, x))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_many(variables, x))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(
+        f"retinanet_r50mrlal e2e (bs{B} {H}x{W} bf16, nms_pre1000 "
+        f"max100): {B * iters / dt:.1f} img/s",
+        flush=True,
+    )
+
+
+def bench_faster_rcnn_e2e(B=8, H=800, W=1344, iters=10, proposals=1000):
+    """FULL Faster R-CNN at COCO size: RPN proposals (1000-iteration NMS,
+    the mmdet test_cfg), RoIAlign, bbox head, second-stage decode+NMS."""
+    from mrla_tpu.detect.two_stage import (
+        FasterRCNN, init_detector, rcnn_detections,
+    )
+
+    model = FasterRCNN(
+        layers=(3, 4, 6, 3), dtype=jnp.bfloat16, num_proposals=proposals
+    )
+    variables = jax.jit(
+        lambda r, x: init_detector(model, r, x)
+    )(jax.random.key(0), jnp.zeros((1, H, W, 3), jnp.float32))
+    x = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).standard_normal((B, H, W, 3)),
+            jnp.bfloat16,
+        )
+    )
+
+    @jax.jit
+    def run_many(v, x):
+        def body(carry, _):
+            xx = x + (carry * 1e-20).astype(x.dtype)
+            out = model.apply(v, xx, train=False)
+            boxes, scores, labels, valid = rcnn_detections(
+                out["proposals"], out["proposal_valid"], out["cls"],
+                out["reg"], img_shape=(H, W),
+            )
+            s = (
+                jnp.sum(boxes[:, 0].astype(jnp.float32))
+                + jnp.sum(scores[:, 0])
+            )
+            return s, None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return carry
+
+    float(run_many(variables, x))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_many(variables, x))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(
+        f"faster_rcnn_r50mrlal e2e (bs{B} {H}x{W} bf16, {proposals} "
+        f"proposals): {B * iters / dt:.1f} img/s",
+        flush=True,
+    )
+
+
 def bench_loader(n=512, size=224):
     """Host input pipeline: native C++ libjpeg batch decoder vs PIL, img/s
     (the BASELINE.json jpeg-decode-path requirement)."""
@@ -314,5 +414,11 @@ if __name__ == "__main__":
         bench_detect()
     if what in ("detect_serving",):
         bench_detect_serving(microbatches=tuple(mbs) if sys.argv[2:] else (0, 1, 2, 4))
+    if what in ("retinanet_e2e",):
+        bench_retinanet_e2e()
+    if what in ("faster_rcnn_e2e",):
+        bench_faster_rcnn_e2e(
+            proposals=int(sys.argv[2]) if sys.argv[2:] else 1000
+        )
     if what in ("loader",):
         bench_loader()
