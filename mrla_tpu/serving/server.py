@@ -219,6 +219,21 @@ def _make_handler(engine: BatchingEngine, info: dict, timeout_s: float = 120.0):
                 if p.error is not None:
                     return self._json(500, {"error": str(p.error)})
 
+            if info.get("output") == "detections":
+                # tuple per sample: (boxes [M,4], scores [M], labels [M],
+                # valid [M]) from the decode path -> JSON, invalid rows
+                # dropped
+                out = []
+                for p_ in pendings:
+                    boxes, scores, labels, valid = p_.logits[:4]
+                    m = np.asarray(valid, bool)
+                    out.append({
+                        "boxes": np.asarray(boxes)[m].astype(float).tolist(),
+                        "scores": np.asarray(scores)[m].astype(float).tolist(),
+                        "labels": np.asarray(labels)[m].astype(int).tolist(),
+                    })
+                return self._json(200, {"detections": out})
+
             if isinstance(pendings[0].logits, tuple):
                 # detection export -> npz: one array per pyramid level
                 n_levels = len(pendings[0].logits)
@@ -356,6 +371,80 @@ def build_detect_server(
     return httpd, beng
 
 
+def build_detections_server(
+    preset: str,
+    det_variables,
+    num_classes: int = 80,
+    batch_size: int = 8,
+    image_hw=(800, 1344),
+    score_thr: float = 0.05,
+    max_per_img: int = 100,
+    max_wait_ms: float = 5.0,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    timeout_s: float = 120.0,
+    num_proposals: int = 1000,
+):
+    """Full-detector daemon: POST /predict (npy [N,H,W,3]) -> JSON
+    detections (boxes/scores/labels per image, mmdet test_cfg decode).
+
+    `det_variables`: detect.RetinaNet tree (convert_mmdet_state_dict) for
+    retinanet presets, or FasterRCNN/MaskRCNN tree
+    (convert_mmdet_two_stage) for the two-stage presets."""
+    from mrla_tpu.detect.configs import PRESETS
+
+    p = PRESETS[preset]
+    h, w = image_hw
+    det_variables = jax.device_put(det_variables)
+    if "retinanet" in preset:
+        from mrla_tpu.detect.retinanet import RetinaNet, get_bboxes
+
+        model = RetinaNet(
+            layers=tuple(p.backbone_layers), num_classes=num_classes,
+            dtype=jnp.bfloat16,
+        )
+
+        @jax.jit
+        def fwd(x):
+            outs = model.apply(det_variables, x, train=False)
+            return get_bboxes(
+                outs, img_shape=(h, w), score_thr=score_thr,
+                max_per_img=max_per_img,
+            )
+
+    else:
+        from mrla_tpu.detect.two_stage import (
+            FasterRCNN, MaskRCNN, rcnn_detections,
+        )
+
+        cls = MaskRCNN if "mask" in preset else FasterRCNN
+        model = cls(
+            layers=tuple(p.backbone_layers), num_classes=num_classes,
+            dtype=jnp.bfloat16, num_proposals=num_proposals,
+        )
+
+        @jax.jit
+        def fwd(x):
+            out = model.apply(det_variables, x, train=False)
+            return rcnn_detections(
+                out["proposals"], out["proposal_valid"], out["cls"],
+                out["reg"], img_shape=(h, w), score_thr=score_thr,
+                max_per_img=max_per_img,
+            )
+
+    import ml_dtypes
+
+    beng = BatchingEngine(fwd, batch_size, (h, w, 3), max_wait_ms,
+                          input_dtype=ml_dtypes.bfloat16)
+    info = {"preset": preset, "batch_size": batch_size,
+            "image_hw": [h, w], "num_classes": num_classes,
+            "output": "detections"}
+    httpd = ThreadingHTTPServer(
+        (host, port), _make_handler(beng, info, timeout_s=timeout_s)
+    )
+    return httpd, beng
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     p = argparse.ArgumentParser("mrla_tpu serving daemon")
     p.add_argument("-a", "--arch", default="resnet50_mrlal")
@@ -374,6 +463,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                    help="serve detection feature export instead of "
                         "classification (a detect.configs.PRESETS key; "
                         "responses are npz pyramids)")
+    p.add_argument("--detect-output", default="pyramid",
+                   choices=["pyramid", "detections"],
+                   help="'detections' runs the FULL native detector "
+                        "(head + decode + NMS) and answers JSON "
+                        "boxes/scores/labels")
+    p.add_argument("--score-thr", type=float, default=0.05)
     p.add_argument("--image-hw", type=int, nargs=2, default=(800, 1344),
                    metavar=("H", "W"),
                    help="detection input size (COCO eval contract)")
@@ -385,37 +480,81 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         from mrla_tpu.detect.configs import PRESETS
 
         preset = PRESETS[args.detect_preset]
+        detections = args.detect_output == "detections"
+        h, w = args.image_hw
         if args.torch:
             import torch
 
-            from mrla_tpu.ckpt import convert_mmdet_state_dict
-
             sd = torch.load(args.torch, map_location="cpu")
             sd = sd.get("state_dict", sd)
-            det_vars = convert_mmdet_state_dict(
-                sd, num_laterals=4 - preset.start_level
-            )
-        else:
-            from mrla_tpu.detect.configs import build_backbone_fpn
+            if detections and "retinanet" not in args.detect_preset:
+                from mrla_tpu.ckpt.detect_convert import (
+                    convert_mmdet_two_stage,
+                )
 
+                det_vars = convert_mmdet_two_stage(sd)
+            else:
+                from mrla_tpu.ckpt import convert_mmdet_state_dict
+
+                det_vars = convert_mmdet_state_dict(
+                    sd, num_laterals=4 - preset.start_level
+                )
+        else:
             print("warning: no --torch given, serving RANDOM weights",
                   flush=True)
-            m = build_backbone_fpn(args.detect_preset)
-            h, w = args.image_hw
-            det_vars = jax.device_get(
-                m.init(jax.random.PRNGKey(0),
-                       np.zeros((1, h, w, 3), np.float32), train=False)
+            if detections:
+                if "retinanet" in args.detect_preset:
+                    from mrla_tpu.detect.retinanet import RetinaNet
+
+                    m = RetinaNet(layers=tuple(preset.backbone_layers),
+                                  num_classes=args.num_classes)
+                    det_vars = jax.device_get(
+                        m.init(jax.random.PRNGKey(0),
+                               np.zeros((1, h, w, 3), np.float32),
+                               train=False)
+                    )
+                else:
+                    from mrla_tpu.detect.two_stage import (
+                        FasterRCNN, MaskRCNN, init_detector,
+                    )
+
+                    cls = (MaskRCNN if "mask" in args.detect_preset
+                           else FasterRCNN)
+                    m = cls(layers=tuple(preset.backbone_layers),
+                            num_classes=args.num_classes)
+                    det_vars = jax.device_get(
+                        init_detector(m, jax.random.PRNGKey(0),
+                                      np.zeros((1, h, w, 3), np.float32))
+                    )
+            else:
+                from mrla_tpu.detect.configs import build_backbone_fpn
+
+                m = build_backbone_fpn(args.detect_preset)
+                det_vars = jax.device_get(
+                    m.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32),
+                           train=False)
+                )
+        if detections:
+            httpd, beng = build_detections_server(
+                args.detect_preset, det_vars,
+                num_classes=args.num_classes,
+                batch_size=args.batch_size, image_hw=tuple(args.image_hw),
+                score_thr=args.score_thr, max_wait_ms=args.max_wait_ms,
+                host=args.host, port=args.port, timeout_s=args.timeout_s,
             )
-        httpd, beng = build_detect_server(
-            args.detect_preset, det_vars, batch_size=args.batch_size,
-            image_hw=tuple(args.image_hw), microbatch=args.microbatch or 0,
-            max_wait_ms=args.max_wait_ms, host=args.host, port=args.port,
-            timeout_s=args.timeout_s,
-        )
-        h, w = args.image_hw
+        else:
+            httpd, beng = build_detect_server(
+                args.detect_preset, det_vars, batch_size=args.batch_size,
+                image_hw=tuple(args.image_hw),
+                microbatch=args.microbatch or 0,
+                max_wait_ms=args.max_wait_ms, host=args.host,
+                port=args.port, timeout_s=args.timeout_s,
+            )
         warm = np.zeros((args.batch_size, h, w, 3), beng.input_dtype)
-        [np.asarray(o) for o in beng.fwd(warm)]
-        print(f"serving {args.detect_preset} export on "
+        out = beng.fwd(warm)
+        jax.tree.map(np.asarray, out)
+        print(f"serving {args.detect_preset} {args.detect_output} on "
               f"{args.host}:{args.port} (batch {args.batch_size}, "
               f"{h}x{w})", flush=True)
         try:

@@ -244,3 +244,61 @@ def test_http_with_real_mrlal_engine():
         httpd.shutdown()
         httpd.server_close()
         eng.close()
+
+
+def test_http_detections_json():
+    """--detect-output detections: the full native RetinaNet through the
+    batching server answers JSON boxes/scores/labels with invalid rows
+    dropped, matching a direct decode."""
+    import io
+
+    import jax
+
+    from mrla_tpu.detect.retinanet import RetinaNet, get_bboxes
+
+    model = RetinaNet(layers=(1, 1, 1, 1), num_classes=3)
+    v = jax.device_get(
+        model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)),
+                   train=False)
+    )
+
+    def fwd(x):
+        outs = model.apply(v, jnp.asarray(x, jnp.float32), train=False)
+        return get_bboxes(outs, img_shape=(128, 128), score_thr=0.005,
+                          max_per_img=5)
+
+    eng = BatchingEngine(fwd, batch_size=2, image_shape=(128, 128, 3),
+                         max_wait_ms=10.0)
+    httpd, base = _start_http(eng, {"preset": "tiny",
+                                    "output": "detections"})
+    try:
+        imgs = np.random.default_rng(4).standard_normal(
+            (2, 128, 128, 3)
+        ).astype(np.float32)
+        wb, ws, wl, wv = [np.asarray(o) for o in fwd(imgs)]
+
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        req = urllib.request.Request(
+            base + "/predict", data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/x-npy"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+            got = json.loads(r.read())["detections"]
+        assert len(got) == 2
+        for i, det in enumerate(got):
+            m = wv[i]
+            assert len(det["boxes"]) == int(m.sum())
+            np.testing.assert_allclose(
+                np.asarray(det["boxes"], np.float32).reshape(-1, 4),
+                wb[i][m], atol=1e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(det["scores"]), ws[i][m], atol=1e-5
+            )
+            assert det["labels"] == wl[i][m].tolist()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        eng.close()
