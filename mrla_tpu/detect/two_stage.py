@@ -224,6 +224,10 @@ class FasterRCNN(nn.Module):
     rpn_nms_pre: int = 1000
     num_proposals: int = 1000
     with_mask: bool = False
+    # RoIAlign grid: 2 matches mmdet's adaptive range (bins are 2-4
+    # cells under the FPN level mapping); 1 is the 3x-faster serving
+    # knob (the RoI stage is gather-row-bound — see detect/roi_align.py)
+    roi_sampling_ratio: int = 2
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -272,6 +276,7 @@ class FasterRCNN(nn.Module):
             roi_valid,
             strides=ROI_STRIDES,
             out_size=7,
+            sampling_ratio=self.roi_sampling_ratio,
         )
         return self.bbox_head(roi_feats.astype(self.dtype))
 
@@ -297,6 +302,7 @@ class FasterRCNN(nn.Module):
             proposal_valid,
             strides=ROI_STRIDES,
             out_size=7,
+            sampling_ratio=self.roi_sampling_ratio,
         )
         cls, reg = self.bbox_head(roi_feats.astype(self.dtype))
         return {
@@ -395,6 +401,7 @@ def two_stage_predict(
             det_valid,
             strides=ROI_STRIDES,
             out_size=14,
+            sampling_ratio=model.roi_sampling_ratio,
         )
         mask_logits = model.apply(
             variables,
