@@ -44,7 +44,7 @@ from mrla_tpu.detect.two_stage import (
     rpn_proposals,
     two_stage_predict,
 )
-from mrla_tpu.detect.coco_eval import evaluate_detections
+from mrla_tpu.detect.coco_eval import evaluate_detections, paste_masks
 from mrla_tpu.detect.two_stage_train import (
     faster_rcnn_train_loss,
     mask_loss,
@@ -94,4 +94,5 @@ __all__ = [
     "rcnn_targets",
     "rpn_loss",
     "evaluate_detections",
+    "paste_masks",
 ]

