@@ -80,6 +80,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default="runs/detect")
     p.add_argument("--resume", default=None)
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training: restore --resume (or init) and "
+                        "report mAP (the reference trainer's -e flow)")
     p.add_argument("--eval-every", type=int, default=1,
                    help="epochs between mAP evals; 0 disables")
     p.add_argument("--eval-steps", type=int, default=8,
@@ -291,6 +294,12 @@ def main(argv=None):
             opt_state = state["opt_state"]
             start_epoch += 1
             print(f"resumed epoch {start_epoch} (best mAP {best_map:.4f})")
+
+    if args.eval_only:
+        m = evaluate(args, model, kind, params, batch_stats, start_epoch)
+        print(json.dumps({"eval_only": True, **m}))
+        return {"params": params, "batch_stats": batch_stats,
+                "best_map": m["mAP"], **m}
 
     step_key = jax.random.key(args.seed + 1)
     global_step = start_epoch * steps_per_epoch

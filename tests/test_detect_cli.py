@@ -39,6 +39,21 @@ def test_retinanet_cli_synthetic(tmp_path):
     assert "loss" in rec and np.isfinite(rec["loss"])
     assert "mAP" in rec
     assert os.path.exists(tmp_path / "run" / "checkpoint")
+    # eval-only on the saved run (the reference -e flow)
+    out2 = _run([
+        "--preset", "retinanet_r50mrlal_fpn_1x_coco",
+        "--data", "synthetic-detect",
+        "--backbone-layers", "1", "1", "1", "1",
+        "--img-size", "128",
+        "--num-classes", "3",
+        "--max-gt", "4",
+        "--batch-size", "2",
+        "--eval-steps", "2",
+        "--eval-only",
+        "--resume", str(tmp_path / "run"),
+        "--output-dir", str(tmp_path / "run"),
+    ])
+    assert "mAP" in out2 and np.isfinite(out2["mAP"])
 
 
 def test_faster_rcnn_cli_synthetic_and_resume(tmp_path):
