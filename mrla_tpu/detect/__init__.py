@@ -24,6 +24,7 @@ from mrla_tpu.detect.bbox import (
     delta2bbox,
     multiclass_nms_fixed,
     nms_fixed,
+    soft_nms_fixed,
 )
 from mrla_tpu.detect.retinanet import RetinaHead, RetinaNet, get_bboxes
 from mrla_tpu.detect.targets import anchor_targets, max_iou_assign
@@ -68,6 +69,7 @@ __all__ = [
     "delta2bbox",
     "multiclass_nms_fixed",
     "nms_fixed",
+    "soft_nms_fixed",
     "RetinaHead",
     "RetinaNet",
     "get_bboxes",

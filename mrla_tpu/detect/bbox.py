@@ -137,6 +137,61 @@ def nms_fixed(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
     return idxs, valid
 
 
+def soft_nms_fixed(
+    boxes: jax.Array,
+    scores: jax.Array,
+    iou_threshold: float,
+    max_out: int,
+    method: str = "linear",
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Soft-NMS with a fixed output size (mmdet supports it for rcnn
+    testing — faster_rcnn_r50mrlal_fpn.py:107-108 comment).
+
+    Instead of removing overlaps, each pick DECAYS the remaining scores:
+    ``linear``: s *= 1 - iou (only where iou > iou_threshold);
+    ``gaussian``: s *= exp(-iou^2 / sigma) (everywhere).  Picks stop
+    contributing once the best remaining score <= min_score.
+
+    Returns (indices [max_out] int32, decayed_scores [max_out],
+    valid [max_out] bool) in pick order.
+    """
+    n = boxes.shape[0]
+    iou = bbox_overlaps(boxes, boxes)
+
+    def body(i, state):
+        live, idxs, out_scores, valid = state
+        best = jnp.argmax(live)
+        bs = live[best]
+        ok = bs > min_score
+        idxs = idxs.at[i].set(jnp.where(ok, best, -1).astype(jnp.int32))
+        out_scores = out_scores.at[i].set(jnp.where(ok, bs, 0.0))
+        valid = valid.at[i].set(ok)
+        row = iou[best]
+        if method == "linear":
+            decay = jnp.where(row > iou_threshold, 1.0 - row, 1.0)
+        elif method == "gaussian":
+            decay = jnp.exp(-(row * row) / sigma)
+        else:
+            raise ValueError(f"unknown soft-nms method: {method}")
+        # decay only finite (not-yet-picked) entries: -inf * 0 would NaN
+        # on exact-duplicate boxes (linear decay hits 0 at iou == 1)
+        decayed = jnp.where(jnp.isfinite(live), live * decay, live)
+        live = jnp.where(ok, decayed, live)
+        live = live.at[best].set(-jnp.inf)
+        return live, idxs, out_scores, valid
+
+    init = (
+        jnp.where(scores > 0.0, scores, -jnp.inf),
+        jnp.full((max_out,), -1, jnp.int32),
+        jnp.zeros((max_out,)),
+        jnp.zeros((max_out,), bool),
+    )
+    _, idxs, out_scores, valid = jax.lax.fori_loop(0, max_out, body, init)
+    return idxs, out_scores, valid
+
+
 def multiclass_nms_fixed(
     boxes: jax.Array,
     scores: jax.Array,

@@ -283,3 +283,69 @@ def test_convert_retina_head_keys():
     jhead = jax.tree.map(jnp.asarray, head)
     cls, reg = hd.apply({"params": jhead}, jnp.ones((1, 4, 4, 256)))
     assert cls.shape == (1, 4, 4, 720) and reg.shape == (1, 4, 4, 36)
+
+
+# --------------------------------------------------------------- soft-NMS
+
+
+def _py_soft_nms(boxes, scores, thr, max_out, method, sigma, min_score):
+    """Sequential soft-NMS oracle (Bodla et al. alg. 2, mmdet semantics)."""
+    boxes = [list(map(float, b)) for b in boxes]
+    live = [float(s) for s in scores]
+    picks = []
+    for _ in range(max_out):
+        best = max(range(len(live)), key=lambda j: live[j])
+        if live[best] <= min_score:
+            break
+        picks.append((best, live[best]))
+        bbest = boxes[best]
+        for j in range(len(live)):
+            if j == best or live[j] == -1:
+                continue
+            xx1 = max(bbest[0], boxes[j][0]); yy1 = max(bbest[1], boxes[j][1])
+            xx2 = min(bbest[2], boxes[j][2]); yy2 = min(bbest[3], boxes[j][3])
+            inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
+            ab = (bbest[2]-bbest[0])*(bbest[3]-bbest[1])
+            aj = (boxes[j][2]-boxes[j][0])*(boxes[j][3]-boxes[j][1])
+            iou = inter / max(ab + aj - inter, 1e-10)
+            if method == "linear":
+                if iou > thr:
+                    live[j] *= 1.0 - iou
+            else:
+                import math
+                live[j] *= math.exp(-(iou * iou) / sigma)
+        live[best] = -1
+    return picks
+
+
+def test_soft_nms_matches_python_oracle():
+    from mrla_tpu.detect import soft_nms_fixed
+
+    rng = np.random.RandomState(3)
+    for method in ("linear", "gaussian"):
+        for trial in range(3):
+            xy = rng.uniform(0, 30, (32, 2))
+            wh = rng.uniform(6, 25, (32, 2))
+            boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+            scores = rng.uniform(0.01, 1, 32).astype(np.float32)
+            idxs, out_s, valid = jax.jit(
+                soft_nms_fixed, static_argnums=(2, 3, 4)
+            )(jnp.asarray(boxes), jnp.asarray(scores), 0.3, 12, method)
+            got = [(int(i), float(s))
+                   for i, s, v in zip(idxs, out_s, valid) if v]
+            want = _py_soft_nms(boxes, scores, 0.3, 12, method, 0.5, 1e-3)
+            assert [g[0] for g in got] == [w[0] for w in want]
+            np.testing.assert_allclose(
+                [g[1] for g in got], [w[1] for w in want], rtol=1e-5
+            )
+
+
+def test_soft_nms_exact_duplicates_no_nan():
+    from mrla_tpu.detect import soft_nms_fixed
+
+    boxes = jnp.asarray([[0.0, 0, 10, 10]] * 3)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    idxs, out_s, valid = soft_nms_fixed(boxes, scores, 0.3, 3, "linear")
+    # linear decay at iou=1 zeroes the duplicates -> only one pick
+    assert int(valid.sum()) == 1 and int(idxs[0]) == 0
+    assert np.all(np.isfinite(np.asarray(out_s)))
