@@ -115,23 +115,44 @@ def _interp_ap(scores: np.ndarray, matched: np.ndarray, num_gt: int) -> float:
     return float(p.mean())
 
 
+def _mask_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pixel IoU between boolean mask sets: a [N, H, W], b [M, H, W]."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float64)
+    af = a.reshape(len(a), -1).astype(np.float64)
+    bf = b.reshape(len(b), -1).astype(np.float64)
+    inter = af @ bf.T
+    area_a = af.sum(1)
+    area_b = bf.sum(1)
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter,
+                              1e-10)
+
+
 def evaluate_detections(
     predictions: Sequence[Mapping[str, np.ndarray]],
     ground_truths: Sequence[Mapping[str, np.ndarray]],
     num_classes: int,
     iou_thrs: Optional[np.ndarray] = None,
     max_dets: int = 100,
+    iou_kind: str = "bbox",
 ) -> Dict[str, float]:
     """predictions / ground_truths: one mapping per image with keys
     ``boxes`` [N, 4] xyxy, ``labels`` [N] int, and (predictions only)
     ``scores`` [N].  Rows may include padding — pass only valid rows or
     filter with a ``valid`` mask beforehand.
 
+    ``iou_kind="segm"`` scores instance segmentation instead (COCOeval
+    segm protocol): both sides must then also carry ``masks`` [N, H, W]
+    boolean arrays (predictions pasted to image resolution, e.g. via
+    :func:`paste_masks`), and matching uses pixel IoU; scores/labels
+    still come from the detection head.
+
     Returns {"mAP", "AP50", "AP75", "AP@<thr>": ..., "per_class": {...}}.
     """
     if iou_thrs is None:
         iou_thrs = IOU_THRS
     assert len(predictions) == len(ground_truths)
+    assert iou_kind in ("bbox", "segm")
 
     # per (class, thr): accumulate detection scores + hit flags
     ap = np.full((num_classes, len(iou_thrs)), np.nan)
@@ -142,7 +163,8 @@ def evaluate_detections(
         for pred, gt in zip(predictions, ground_truths):
             g_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
             g_lab = np.asarray(gt["labels"]).reshape(-1)
-            g_boxes = g_boxes[g_lab == cls]
+            g_sel = g_lab == cls
+            g_boxes = g_boxes[g_sel]
             num_gt += len(g_boxes)
             p_boxes = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)
             p_lab = np.asarray(pred["labels"]).reshape(-1)
@@ -152,7 +174,12 @@ def evaluate_detections(
             order = np.argsort(-p_scores, kind="mergesort")[:max_dets]
             p_boxes, p_scores = p_boxes[order], p_scores[order]
             scores_all.append(p_scores)
-            iou = _iou(p_boxes, g_boxes)
+            if iou_kind == "segm":
+                g_masks = np.asarray(gt["masks"], bool)[g_sel]
+                p_masks = np.asarray(pred["masks"], bool)[sel][order]
+                iou = _mask_iou(p_masks, g_masks)
+            else:
+                iou = _iou(p_boxes, g_boxes)
             for ti, thr in enumerate(iou_thrs):
                 taken = np.zeros(len(g_boxes), bool)
                 hit = np.zeros(len(p_boxes), bool)

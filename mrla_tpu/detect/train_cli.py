@@ -357,8 +357,10 @@ def evaluate(args, model, kind, params, batch_stats, epoch) -> Dict[str, Any]:
 
     variables = {"params": params, "batch_stats": batch_stats}
     preds, gts = [], []
+    with_masks = False
     for batch in data_iter(args, train=False, epoch=epoch):
         x = jnp.asarray(batch["image"])
+        soft_masks = None
         if kind == "retinanet":
             from mrla_tpu.detect.retinanet import get_bboxes
 
@@ -377,23 +379,43 @@ def evaluate(args, model, kind, params, batch_stats, epoch) -> Dict[str, Any]:
                 res["det_boxes"], res["det_scores"],
                 res["det_labels"], res["det_valid"],
             )
+            soft_masks = res.get("masks")
         boxes, scores = np.asarray(boxes), np.asarray(scores)
         labels, valid = np.asarray(labels), np.asarray(valid)
         for b in range(x.shape[0]):
             if not bool(batch["sample_valid"][b]):
                 continue
             m = valid[b]
-            preds.append({
+            pred = {
                 "boxes": boxes[b][m], "scores": scores[b][m],
                 "labels": labels[b][m],
-            })
+            }
             gv = np.asarray(batch["gt_valid"][b])
-            gts.append({
+            gt = {
                 "boxes": np.asarray(batch["gt_boxes"][b])[gv],
                 "labels": np.asarray(batch["gt_labels"][b])[gv],
-            })
+            }
+            if soft_masks is not None and "gt_masks" in batch:
+                from mrla_tpu.detect.coco_eval import paste_masks
+
+                with_masks = True
+                pred["masks"] = paste_masks(
+                    np.asarray(soft_masks[b])[m], pred["boxes"],
+                    (x.shape[1], x.shape[2]),
+                )
+                gt["masks"] = (
+                    np.asarray(batch["gt_masks"][b])[gv] >= 0.5
+                )
+            preds.append(pred)
+            gts.append(gt)
     res = evaluate_detections(preds, gts, num_classes=args.num_classes)
-    return {"mAP": res["mAP"], "AP50": res["AP50"], "AP75": res["AP75"]}
+    out = {"mAP": res["mAP"], "AP50": res["AP50"], "AP75": res["AP75"]}
+    if with_masks:
+        segm = evaluate_detections(
+            preds, gts, num_classes=args.num_classes, iou_kind="segm"
+        )
+        out.update({"mask_mAP": segm["mAP"], "mask_AP50": segm["AP50"]})
+    return out
 
 
 if __name__ == "__main__":

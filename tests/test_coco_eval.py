@@ -131,3 +131,39 @@ def test_paste_masks_geometry():
     out4 = paste_masks(masks, np.array([[-30.0, -30, -10, -10]]),
                        (16, 16))
     assert not out4.any()
+
+
+def test_evaluate_segm_protocol():
+    """Mask IoU drives segm matching: a detection whose BOX matches but
+    whose MASK misses scores zero under iou_kind='segm'."""
+    h = w = 32
+    gt_mask = np.zeros((1, h, w), bool)
+    gt_mask[0, 4:20, 4:20] = True
+    gts = [{"boxes": np.array([[4.0, 4, 20, 20]]),
+            "labels": np.array([0]), "masks": gt_mask}]
+    # perfect mask prediction
+    good = [{"boxes": np.array([[4.0, 4, 20, 20]]),
+             "labels": np.array([0]), "scores": np.array([0.9]),
+             "masks": gt_mask.copy()}]
+    res = evaluate_detections(good, gts, num_classes=1, iou_kind="segm")
+    assert res["mAP"] == 1.0
+    # same box, disjoint mask -> segm AP 0, bbox AP 1
+    bad_mask = np.zeros((1, h, w), bool)
+    bad_mask[0, 22:30, 22:30] = True
+    bad = [{"boxes": np.array([[4.0, 4, 20, 20]]),
+            "labels": np.array([0]), "scores": np.array([0.9]),
+            "masks": bad_mask}]
+    res2 = evaluate_detections(bad, gts, num_classes=1, iou_kind="segm")
+    assert res2["mAP"] == 0.0
+    res3 = evaluate_detections(bad, gts, num_classes=1, iou_kind="bbox")
+    assert res3["mAP"] == 1.0
+    # half-overlap mask: IoU = 0.5 -> counts at thr .50 only
+    half = np.zeros((1, h, w), bool)
+    half[0, 4:20, 4:12] = True  # left half of gt
+    # gt vs half: inter = 16*8, union = 16*16 -> IoU 0.5
+    preds = [{"boxes": np.array([[4.0, 4, 20, 20]]),
+              "labels": np.array([0]), "scores": np.array([0.9]),
+              "masks": half}]
+    res4 = evaluate_detections(preds, gts, num_classes=1,
+                               iou_kind="segm")
+    assert res4["AP50"] == 1.0 and res4["AP@0.55"] == 0.0

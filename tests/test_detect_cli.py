@@ -165,3 +165,29 @@ def test_coco_cli_end_to_end(tmp_path):
         "--output-dir", str(tmp_path / "run"),
     ])
     assert np.isfinite(out["best_map"])
+
+
+def test_mask_rcnn_cli_synthetic_segm_eval(tmp_path):
+    """Mask preset end to end: mask loss trains and eval reports BOTH
+    bbox and segm (mask) mAP."""
+    out = _run([
+        "--preset", "mask_rcnn_r50mrlal_fpn_1x_coco",
+        "--data", "synthetic-detect",
+        "--backbone-layers", "1", "1", "1", "1",
+        "--img-size", "128",
+        "--num-classes", "3",
+        "--max-gt", "4",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--steps-per-epoch", "2",
+        "--eval-steps", "1",
+        "--rpn-proposals", "20",
+        "--rcnn-samples", "16",
+        "--warmup-iters", "10",
+        "--output-dir", str(tmp_path / "run"),
+    ])
+    log = (tmp_path / "run" / "log.jsonl").read_text().strip().splitlines()
+    rec = json.loads(log[-1])
+    assert "loss_mask" in rec and np.isfinite(rec["loss_mask"])
+    assert "mask_mAP" in rec and np.isfinite(rec["mask_mAP"])
+    assert "mAP" in rec
