@@ -77,6 +77,10 @@ def parse_args(argv=None):
     p.add_argument("--pretrained-backbone", default=None,
                    help="orbax classification run dir (init_cfg Pretrained)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel over N devices (GSPMD mesh; batch "
+                        "must divide by N; params replicated — the "
+                        "reference's DDP strategy)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default="runs/detect")
     p.add_argument("--resume", default=None)
@@ -301,6 +305,27 @@ def main(argv=None):
         return {"params": params, "batch_stats": batch_stats,
                 "best_map": m["mAP"], **m}
 
+    batch_sharding = None
+    if args.dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mrla_tpu.parallel import make_mesh
+
+        if args.batch_size % args.dp:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must divide --dp {args.dp}"
+            )
+        mesh = make_mesh(axes=("data",), shape=(args.dp,))
+        rep = NamedSharding(mesh, P())
+        params = jax.device_put(params, rep)
+        batch_stats = jax.device_put(batch_stats, rep)
+        opt_state = jax.device_put(opt_state, rep)
+
+        def batch_sharding(v):
+            return NamedSharding(
+                mesh, P(*(["data"] + [None] * (v.ndim - 1)))
+            )
+
     step_key = jax.random.key(args.seed + 1)
     global_step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, epochs):
@@ -309,6 +334,11 @@ def main(argv=None):
         for batch in data_iter(args, train=True, epoch=epoch):
             batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if k != "sample_valid"}
+            if batch_sharding is not None:
+                batch = {
+                    k: jax.device_put(v, batch_sharding(v))
+                    for k, v in batch.items()
+                }
             step_key, k = jax.random.split(step_key)
             params, batch_stats, opt_state, losses = train_step(
                 params, batch_stats, opt_state, batch, k

@@ -221,17 +221,24 @@ def _make_handler(engine: BatchingEngine, info: dict, timeout_s: float = 120.0):
 
             if info.get("output") == "detections":
                 # tuple per sample: (boxes [M,4], scores [M], labels [M],
-                # valid [M]) from the decode path -> JSON, invalid rows
-                # dropped
+                # valid [M][, masks [M,28,28]]) from the decode path ->
+                # JSON, invalid rows dropped; soft masks only on ?masks=1
+                want_masks = "masks=1" in self.path
                 out = []
                 for p_ in pendings:
                     boxes, scores, labels, valid = p_.logits[:4]
                     m = np.asarray(valid, bool)
-                    out.append({
+                    det = {
                         "boxes": np.asarray(boxes)[m].astype(float).tolist(),
                         "scores": np.asarray(scores)[m].astype(float).tolist(),
                         "labels": np.asarray(labels)[m].astype(int).tolist(),
-                    })
+                    }
+                    if want_masks and len(p_.logits) > 4:
+                        det["masks"] = (
+                            np.asarray(p_.logits[4])[m]
+                            .astype(float).round(4).tolist()
+                        )
+                    out.append(det)
                 return self._json(200, {"detections": out})
 
             if isinstance(pendings[0].logits, tuple):
@@ -414,7 +421,7 @@ def build_detections_server(
 
     else:
         from mrla_tpu.detect.two_stage import (
-            FasterRCNN, MaskRCNN, rcnn_detections,
+            FasterRCNN, MaskRCNN, two_stage_predict,
         )
 
         cls = MaskRCNN if "mask" in preset else FasterRCNN
@@ -425,12 +432,15 @@ def build_detections_server(
 
         @jax.jit
         def fwd(x):
-            out = model.apply(det_variables, x, train=False)
-            return rcnn_detections(
-                out["proposals"], out["proposal_valid"], out["cls"],
-                out["reg"], img_shape=(h, w), score_thr=score_thr,
+            res = two_stage_predict(
+                model, det_variables, x, score_thr=score_thr,
                 max_per_img=max_per_img,
             )
+            out = (res["det_boxes"], res["det_scores"],
+                   res["det_labels"], res["det_valid"])
+            if "masks" in res:  # mask preset: 28x28 soft masks per det
+                out = out + (res["masks"],)
+            return out
 
     import ml_dtypes
 

@@ -191,3 +191,28 @@ def test_mask_rcnn_cli_synthetic_segm_eval(tmp_path):
     assert "loss_mask" in rec and np.isfinite(rec["loss_mask"])
     assert "mask_mAP" in rec and np.isfinite(rec["mask_mAP"])
     assert "mAP" in rec
+
+
+def test_retinanet_cli_dp8(tmp_path):
+    """--dp 8 trains on the virtual 8-device mesh (conftest backend)."""
+    import jax
+
+    assert jax.device_count() >= 8
+    out = _run([
+        "--preset", "retinanet_r50mrlal_fpn_1x_coco",
+        "--data", "synthetic-detect",
+        "--backbone-layers", "1", "1", "1", "1",
+        "--img-size", "128",
+        "--num-classes", "3",
+        "--max-gt", "4",
+        "--batch-size", "8",
+        "--dp", "8",
+        "--epochs", "1",
+        "--steps-per-epoch", "2",
+        "--eval-steps", "1",
+        "--warmup-iters", "10",
+        "--output-dir", str(tmp_path / "run"),
+    ])
+    assert np.isfinite(out["best_map"])
+    log = (tmp_path / "run" / "log.jsonl").read_text().strip().splitlines()
+    assert np.isfinite(json.loads(log[-1])["loss"])

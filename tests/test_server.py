@@ -302,3 +302,55 @@ def test_http_detections_json():
         httpd.shutdown()
         httpd.server_close()
         eng.close()
+
+
+def test_http_detections_with_masks():
+    """Mask-preset detections serving: ?masks=1 returns 28x28 soft masks
+    per valid detection; the plain call omits them."""
+    import io
+
+    import jax
+
+    from mrla_tpu.detect.two_stage import (
+        MaskRCNN, init_detector, two_stage_predict,
+    )
+
+    model = MaskRCNN(layers=(1, 1, 1, 1), num_classes=3, rpn_nms_pre=50,
+                     num_proposals=10)
+    v = jax.device_get(
+        init_detector(model, jax.random.key(0),
+                      jnp.zeros((1, 128, 128, 3)))
+    )
+
+    def fwd(x):
+        res = two_stage_predict(model, v, jnp.asarray(x, jnp.float32),
+                                score_thr=0.0, max_per_img=3)
+        return (res["det_boxes"], res["det_scores"], res["det_labels"],
+                res["det_valid"], res["masks"])
+
+    eng = BatchingEngine(fwd, batch_size=1, image_shape=(128, 128, 3),
+                         max_wait_ms=10.0)
+    httpd, base = _start_http(eng, {"output": "detections"})
+    try:
+        img = np.random.default_rng(5).standard_normal(
+            (1, 128, 128, 3)
+        ).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        for path, want_masks in [("/predict", False),
+                                 ("/predict?masks=1", True)]:
+            req = urllib.request.Request(
+                base + path, data=buf.getvalue(), method="POST",
+                headers={"Content-Type": "application/x-npy"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                det = json.loads(r.read())["detections"][0]
+            assert ("masks" in det) == want_masks
+            if want_masks and det["boxes"]:
+                marr = np.asarray(det["masks"])
+                assert marr.shape == (len(det["boxes"]), 28, 28)
+                assert ((marr >= 0) & (marr <= 1)).all()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        eng.close()
