@@ -56,6 +56,7 @@ def test_retinanet_cli_synthetic(tmp_path):
     assert "mAP" in out2 and np.isfinite(out2["mAP"])
 
 
+@pytest.mark.slow
 def test_faster_rcnn_cli_synthetic_and_resume(tmp_path):
     args = [
         "--preset", "faster_rcnn_r50mrlal_fpn_1x_coco",
@@ -167,6 +168,7 @@ def test_coco_cli_end_to_end(tmp_path):
     assert np.isfinite(out["best_map"])
 
 
+@pytest.mark.slow
 def test_mask_rcnn_cli_synthetic_segm_eval(tmp_path):
     """Mask preset end to end: mask loss trains and eval reports BOTH
     bbox and segm (mask) mAP."""
@@ -193,6 +195,7 @@ def test_mask_rcnn_cli_synthetic_segm_eval(tmp_path):
     assert "mAP" in rec
 
 
+@pytest.mark.slow
 def test_retinanet_cli_dp8(tmp_path):
     """--dp 8 trains on the virtual 8-device mesh (conftest backend)."""
     import jax
@@ -216,3 +219,67 @@ def test_retinanet_cli_dp8(tmp_path):
     assert np.isfinite(out["best_map"])
     log = (tmp_path / "run" / "log.jsonl").read_text().strip().splitlines()
     assert np.isfinite(json.loads(log[-1])["loss"])
+
+
+def test_pretrained_backbone_graft_from_classification_run(tmp_path):
+    """The reference's init_cfg=Pretrained flow end to end: train a tiny
+    classification run through train/cli.py, then start detection
+    training FROM that checkpoint via --pretrained-backbone — backbone
+    params must equal the classification run's, neck/head fresh."""
+    import jax
+    from mrla_tpu.train import cli as train_cli
+
+    cls_dir = tmp_path / "cls"
+    train_cli.main([
+        "-a", "resnet50_mrlal",
+        "--data", "synthetic",
+        "--num-classes", "4",
+        "--image-size", "64",
+        "-b", "8",
+        "--epochs", "1",
+        "--synthetic-steps", "2",
+        "--output-dir", str(cls_dir),
+    ])
+
+    # tiny 1-1-1-1 detect backbone grafts from the FULL-depth run: its
+    # blocks are a key-subset with identical shapes (stem, layerK_0)
+    out = _run([
+        "--preset", "retinanet_r50mrlal_fpn_1x_coco",
+        "--data", "synthetic-detect",
+        "--backbone-layers", "1", "1", "1", "1",
+        "--img-size", "128",
+        "--num-classes", "3",
+        "--max-gt", "4",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--steps-per-epoch", "1",
+        "--eval-every", "0",
+        "--warmup-iters", "5",
+        "--pretrained-backbone", str(cls_dir),
+        "--output-dir", str(tmp_path / "det"),
+    ])
+    assert np.isfinite(json.loads(
+        (tmp_path / "det" / "log.jsonl").read_text().splitlines()[-1]
+    )["loss"])
+
+    # the grafted backbone must MATCH the classification run pre-training:
+    # compare stem conv kernels (classification checkpoint vs a fresh
+    # detect init with the same flag — one optimizer step of lr~warmup
+    # ratio moves them only ~1e-5)
+    from mrla_tpu.ckpt.orbax_io import restore_checkpoint
+
+    import flax
+
+    cls_state = restore_checkpoint(str(cls_dir))[0]
+    det_state = restore_checkpoint(str(tmp_path / "det"))[0]
+    a = flax.traverse_util.flatten_dict(cls_state["params"]["stem"])
+    b = flax.traverse_util.flatten_dict(
+        det_state["params"]["backbone"]["stem"]
+    )
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), atol=5e-3,
+            err_msg=str(k),
+        )
+    assert any(not np.allclose(np.asarray(v), 0) for v in a.values())
