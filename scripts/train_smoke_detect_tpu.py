@@ -59,7 +59,37 @@ def main() -> None:
     final = lines[-1]
     print("final:", json.dumps(final))
     assert final["AP50"] >= 0.7, f"AP50 {final['AP50']} < 0.7"
-    print("DETECTION SMOKE PASSED")
+    print("RETINANET SMOKE PASSED")
+
+    if "--two-stage" in sys.argv:
+        # short faster_rcnn sanity on hardware: RPN NMS + RandomSampler +
+        # RoIAlign + bbox-head fwd/bwd all run on-chip with finite losses
+        with tempfile.TemporaryDirectory() as out:
+            cli_main([
+                "--preset", "faster_rcnn_r50mrlal_fpn_1x_coco",
+                "--data", "synthetic-detect",
+                "--backbone-layers", "1", "1", "1", "1",
+                "--img-size", "128",
+                "--num-classes", "3",
+                "--max-gt", "4",
+                "--batch-size", "8",
+                "--epochs", "1",
+                "--steps-per-epoch", "30",
+                "--eval-steps", "2",
+                "--rpn-proposals", "100",
+                "--rcnn-samples", "64",
+                "--warmup-iters", "20",
+                "--lr", "0.005",
+                "--output-dir", out,
+            ])
+            rec = json.loads(
+                open(os.path.join(out, "log.jsonl")).readlines()[-1]
+            )
+        for k in ("loss_rpn_cls", "loss_rpn_bbox", "loss_cls",
+                  "loss_bbox"):
+            assert rec[k] == rec[k], f"non-finite {k}: {rec}"
+        print("two-stage:", json.dumps(rec))
+        print("TWO-STAGE SMOKE PASSED")
 
 
 if __name__ == "__main__":
