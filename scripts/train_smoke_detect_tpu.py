@@ -62,8 +62,10 @@ def main() -> None:
     print("RETINANET SMOKE PASSED")
 
     if "--two-stage" in sys.argv:
-        # short faster_rcnn sanity on hardware: RPN NMS + RandomSampler +
-        # RoIAlign + bbox-head fwd/bwd all run on-chip with finite losses
+        # faster_rcnn LEARNING on hardware: RPN NMS + RandomSampler +
+        # RoIAlign + class-specific regression converge end to end.
+        # Measured (v5e, 2026-08-18): mAP .69/.84/.84 at epochs 3/4/5,
+        # AP50 1.0 by epoch 4 (~12-16 s/epoch after compile).
         with tempfile.TemporaryDirectory() as out:
             cli_main([
                 "--preset", "faster_rcnn_r50mrlal_fpn_1x_coco",
@@ -73,12 +75,12 @@ def main() -> None:
                 "--num-classes", "3",
                 "--max-gt", "4",
                 "--batch-size", "8",
-                "--epochs", "1",
-                "--steps-per-epoch", "30",
-                "--eval-steps", "2",
+                "--epochs", "5",
+                "--steps-per-epoch", "150",
+                "--eval-steps", "3",
                 "--rpn-proposals", "100",
                 "--rcnn-samples", "64",
-                "--warmup-iters", "20",
+                "--warmup-iters", "100",
                 "--lr", "0.005",
                 "--output-dir", out,
             ])
@@ -89,6 +91,7 @@ def main() -> None:
                   "loss_bbox"):
             assert rec[k] == rec[k], f"non-finite {k}: {rec}"
         print("two-stage:", json.dumps(rec))
+        assert rec["AP50"] >= 0.7, f"AP50 {rec['AP50']} < 0.7"
         print("TWO-STAGE SMOKE PASSED")
 
 
