@@ -119,7 +119,12 @@ def rpn_loss(
         )
         gt_idx = jnp.maximum(assigned - 1, 0)
         target = pos_s.astype(jnp.float32)
-        deltas = bbox2delta(anchors, gb[gt_idx])
+        # mask BEFORE use: non-positive anchors index gb[0], and a padded
+        # zero-area row there makes bbox2delta emit -inf (log 0) — which
+        # `inf * 0` would turn into NaN in the loss
+        deltas = jnp.where(
+            pos_s[:, None], bbox2delta(anchors, gb[gt_idx]), 0.0
+        )
         return target, (pos_s | neg_s), deltas, pos_s
 
     keys = jax.random.split(key, b)

@@ -78,6 +78,14 @@ def test_rpn_loss_finite_and_positive_anchors():
     assert int(l0["num_pos"]) == 0
     assert float(l0["loss_rpn_bbox"]) == 0.0
     assert float(l0["loss_rpn_cls"]) > 0
+    # regression: ZERO-AREA padded gt at row 0 (an empty image as padded
+    # by the COCO loader) — bbox2delta on it emits log(0) = -inf, which
+    # must never reach the loss (inf * 0 = NaN)
+    zero_boxes = jnp.zeros((2, 1, 4))
+    lz = rpn_loss(outs, zero_boxes, jnp.zeros((2, 1), bool),
+                  jax.random.key(0), strides=(4, 8, 16), num_samples=64)
+    assert np.isfinite(float(lz["loss_rpn_bbox"]))
+    assert np.isfinite(float(lz["loss_rpn_cls"]))
 
 
 # ------------------------------------------------------------ rcnn targets
