@@ -236,7 +236,17 @@ def main(argv=None):
         batch_stats = loaded["batch_stats"]
         print(f"loaded backbone from {args.pretrained_backbone}")
 
-    steps_per_epoch = args.steps_per_epoch
+    if args.data == "coco" and args.train_ann:
+        # milestone epochs (8/11) must convert to steps using the REAL
+        # epoch length, not the synthetic-data flag
+        from mrla_tpu.data.coco import CocoDetection
+
+        n_train = len(CocoDetection(args.train_ann, args.train_imgs))
+        steps_per_epoch = max(
+            1, (n_train + args.batch_size - 1) // args.batch_size
+        )
+    else:
+        steps_per_epoch = args.steps_per_epoch
     schedule, epochs = make_schedule(args, preset, steps_per_epoch)
     tx = make_optimizer(args, schedule, params)
     opt_state = tx.init(params)
