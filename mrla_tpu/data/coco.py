@@ -35,6 +35,90 @@ MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
+def polygons_to_mask(polys, h: int, w: int) -> np.ndarray:
+    """COCO polygon segmentation -> [h, w] bool mask.
+
+    Even-odd ray casting at pixel CENTERS; an annotation's multiple
+    polygons union (pycocotools merge semantics).  Not bit-identical to
+    pycocotools' integer edge rasterizer at boundary pixels — interior
+    agreement is exact, and the ±half-pixel boundary band is far below
+    the 28×28 mask-target resolution this feeds.
+    """
+    ys, xs = np.mgrid[0:h, 0:w]
+    px = xs + 0.5
+    py = ys + 0.5
+    mask = np.zeros((h, w), bool)
+    for poly in polys:
+        p = np.asarray(poly, np.float64).reshape(-1, 2)
+        if len(p) < 3:
+            continue
+        inside = np.zeros((h, w), bool)
+        xa, ya = p[:, 0], p[:, 1]
+        xb, yb = np.roll(xa, -1), np.roll(ya, -1)
+        for j in range(len(p)):
+            crosses = ((ya[j] <= py) & (yb[j] > py)) | (
+                (yb[j] <= py) & (ya[j] > py)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = xa[j] + (py - ya[j]) * (xb[j] - xa[j]) / (
+                    yb[j] - ya[j]
+                )
+            inside ^= crosses & (px < xint)
+        mask |= inside
+    return mask
+
+
+def _rle_counts_from_string(s: str) -> list:
+    """pycocotools compressed-RLE string -> run counts (maskApi.c
+    rleFrString: 6-bit groups, 0x20 continuation, 0x10 sign extension,
+    counts[i>2] are deltas from counts[i-2])."""
+    counts = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def rle_to_mask(rle: dict) -> np.ndarray:
+    """COCO RLE segmentation (compressed str or uncompressed list
+    counts) -> [h, w] bool mask.  Runs alternate 0/1 in COLUMN-major
+    order (pycocotools layout)."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        if isinstance(counts, bytes):
+            counts = counts.decode()
+        counts = _rle_counts_from_string(counts)
+    flat = np.zeros(h * w, bool)
+    pos = 0
+    val = False
+    for c in counts:
+        flat[pos : pos + c] = val
+        pos += c
+        val = not val
+    return flat.reshape(w, h).T  # column-major
+
+
+def segmentation_to_mask(seg, h: int, w: int) -> np.ndarray:
+    """Either COCO segmentation form -> [h, w] bool mask."""
+    if isinstance(seg, dict):
+        return rle_to_mask(seg)
+    return polygons_to_mask(seg, h, w)
+
+
 class CocoDetection:
     """Index over a COCO instances json + image directory."""
 
@@ -64,8 +148,11 @@ class CocoDetection:
     def __len__(self) -> int:
         return len(self.items)
 
-    def load(self, i: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """-> (image uint8 [H, W, 3], boxes [N, 4] xyxy, labels [N])."""
+    def load(self, i: int, with_masks: bool = False):
+        """-> (image uint8 [H, W, 3], boxes [N, 4] xyxy, labels [N]
+        [, masks [N, H, W] bool]).  Annotations without a segmentation
+        fall back to a box-filled mask (documented pragmatic default —
+        mmdet would error instead)."""
         from PIL import Image
 
         info, anns = self.items[i]
@@ -73,16 +160,32 @@ class CocoDetection:
             os.path.join(self.img_dir, info["file_name"])
         ).convert("RGB")
         arr = np.asarray(img, np.uint8)
-        boxes, labels = [], []
+        ih, iw = arr.shape[:2]
+        boxes, labels, masks = [], [], []
         for a in anns:
             x, y, w, h = a["bbox"]
             boxes.append([x, y, x + w, y + h])
             labels.append(self.cat2label[a["category_id"]])
-        return (
+            if with_masks:
+                seg = a.get("segmentation")
+                if seg:
+                    masks.append(segmentation_to_mask(seg, ih, iw))
+                else:
+                    m = np.zeros((ih, iw), bool)
+                    m[int(y):int(np.ceil(y + h)),
+                      int(x):int(np.ceil(x + w))] = True
+                    masks.append(m)
+        out = (
             arr,
             np.asarray(boxes, np.float32).reshape(-1, 4),
             np.asarray(labels, np.int32),
         )
+        if with_masks:
+            stacked = (
+                np.stack(masks) if masks else np.zeros((0, ih, iw), bool)
+            )
+            return out + (stacked,)
+        return out
 
 
 def letterbox(
@@ -124,6 +227,22 @@ def hflip(
     return img, out
 
 
+def _letterbox_mask(
+    mask: np.ndarray, canvas_hw: Tuple[int, int], nh: int, nw: int
+) -> np.ndarray:
+    """Nearest-resize one [H, W] bool mask into the (nh, nw) content
+    region of the fixed canvas (same geometry as the image letterbox)."""
+    from PIL import Image
+
+    out = np.zeros(canvas_hw, bool)
+    out[:nh, :nw] = np.asarray(
+        Image.fromarray(mask.astype(np.uint8) * 255).resize(
+            (nw, nh), Image.NEAREST
+        )
+    ) > 127
+    return out
+
+
 def coco_batches(
     ds: CocoDetection,
     batch_size: int,
@@ -133,22 +252,26 @@ def coco_batches(
     augment: bool = True,
     seed: int = 0,
     indices: Optional[Sequence[int]] = None,
+    with_masks: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Fixed-shape batches: images [B, H, W, 3] normalized float32,
-    gt_boxes [B, max_gt, 4], gt_labels [B, max_gt], gt_valid [B, max_gt].
-    The final ragged batch pads by repeating row 0 with ``sample_valid``
-    false (mirrors the classification eval contract)."""
+    gt_boxes [B, max_gt, 4], gt_labels [B, max_gt], gt_valid [B, max_gt]
+    (+ gt_masks [B, max_gt, H, W] bool with ``with_masks``).  The final
+    ragged batch pads by repeating row 0 with ``sample_valid`` false
+    (mirrors the classification eval contract)."""
     rng = np.random.RandomState(seed)
     idx = np.asarray(indices if indices is not None else np.arange(len(ds)))
     if shuffle:
         rng.shuffle(idx)
     for start in range(0, len(idx), batch_size):
         chunk = idx[start : start + batch_size]
-        imgs, bxs, lbs, valid, svalid = [], [], [], [], []
+        imgs, bxs, lbs, valid, svalid, mks = [], [], [], [], [], []
         for i in chunk:
-            img, boxes, labels = ds.load(int(i))
+            loaded = ds.load(int(i), with_masks=with_masks)
+            img, boxes, labels = loaded[:3]
             img, boxes, (nh, nw) = letterbox(img, boxes, canvas_hw)
-            if augment and rng.rand() < 0.5:
+            flip = augment and rng.rand() < 0.5
+            if flip:
                 img, boxes = hflip(img, boxes, content_w=nw)
             img = (img - MEAN) / STD
             n = min(len(boxes), max_gt)
@@ -156,6 +279,14 @@ def coco_batches(
             pl = np.zeros((max_gt,), np.int32)
             pv = np.zeros((max_gt,), bool)
             pb[:n], pl[:n], pv[:n] = boxes[:n], labels[:n], True
+            if with_masks:
+                pm = np.zeros((max_gt,) + tuple(canvas_hw), bool)
+                for g in range(n):
+                    m = _letterbox_mask(loaded[3][g], canvas_hw, nh, nw)
+                    if flip:
+                        m[:, :nw] = m[:, :nw][:, ::-1]
+                    pm[g] = m
+                mks.append(pm)
             imgs.append(img)
             bxs.append(pb)
             lbs.append(pl)
@@ -167,10 +298,15 @@ def coco_batches(
             lbs.append(lbs[0])
             valid.append(valid[0])
             svalid.append(False)
-        yield {
+            if with_masks:
+                mks.append(mks[0])
+        batch = {
             "image": np.stack(imgs),
             "gt_boxes": np.stack(bxs),
             "gt_labels": np.stack(lbs),
             "gt_valid": np.stack(valid),
             "sample_valid": np.asarray(svalid),
         }
+        if with_masks:
+            batch["gt_masks"] = np.stack(mks)
+        yield batch

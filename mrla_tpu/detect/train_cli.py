@@ -190,6 +190,7 @@ def data_iter(args, train: bool, epoch: int):
     return coco_batches(
         ds, args.batch_size, canvas_hw=canvas, max_gt=args.max_gt,
         shuffle=train, augment=train, seed=args.seed + epoch,
+        with_masks="mask" in args.preset,
     )
 
 
