@@ -283,3 +283,56 @@ def test_pretrained_backbone_graft_from_classification_run(tmp_path):
             err_msg=str(k),
         )
     assert any(not np.allclose(np.asarray(v), 0) for v in a.values())
+
+
+@pytest.mark.slow
+def test_mask_rcnn_cli_coco_segmentation(tmp_path):
+    """Mask preset from a COCO json WITH polygon segmentations: the
+    decoded gt masks reach the mask loss (loss_mask in the log)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(1)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    size = 96
+    images, annotations = [], []
+    for i in range(2):
+        arr = (rng.rand(size, size, 3) * 60).astype(np.uint8)
+        x0, y0, s = 20, 24, 32
+        arr[y0:y0 + s, x0:x0 + s, 0] = 220
+        Image.fromarray(arr).save(img_dir / f"{i}.png")
+        images.append({"id": i, "file_name": f"{i}.png",
+                       "width": size, "height": size})
+        annotations.append({
+            "id": i + 1, "image_id": i, "category_id": 1,
+            "bbox": [float(x0), float(y0), float(s), float(s)],
+            "area": float(s * s), "iscrowd": 0,
+            "segmentation": [[float(x0), float(y0), float(x0 + s),
+                              float(y0), float(x0 + s), float(y0 + s),
+                              float(x0), float(y0 + s)]],
+        })
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "a"}],
+    }))
+    _run([
+        "--preset", "mask_rcnn_r50mrlal_fpn_1x_coco",
+        "--data", "coco",
+        "--train-ann", str(ann), "--train-imgs", str(img_dir),
+        "--backbone-layers", "1", "1", "1", "1",
+        "--img-size", "96",
+        "--num-classes", "1",
+        "--max-gt", "2",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--eval-every", "0",
+        "--rpn-proposals", "20",
+        "--rcnn-samples", "8",
+        "--warmup-iters", "5",
+        "--output-dir", str(tmp_path / "run"),
+    ])
+    rec = json.loads(
+        (tmp_path / "run" / "log.jsonl").read_text().splitlines()[-1]
+    )
+    assert "loss_mask" in rec and np.isfinite(rec["loss_mask"])
