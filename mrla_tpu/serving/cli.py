@@ -36,6 +36,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=1000)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--quant", default="none",
+                   choices=("none", "int8", "int8-fast"),
+                   help="post-training-quantized engine (mrlal only; "
+                        "calibrates on the first eval batch).  int8: "
+                        "accuracy-safe bf16-residual form; int8-fast: "
+                        "int8 residual carry (+7%% but measurably LOSSY)")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "mrlal", "mrlab", "precast"])
     p.add_argument("--microbatch", type=int, default=None,
@@ -115,12 +121,38 @@ def make_engine_forward(
     engine: str = "auto",
     microbatch: Optional[int] = None,
     num_classes: int = 1000,
+    quant: str = "none",
+    calib_x=None,
 ):
     """Route `arch` to its fastest serving engine and return a jitted
     `fwd(x: [B,H,W,3]) -> logits fp32` closure over the prepared (BN-folded
-    / pre-cast) params.  Shared by the eval CLI and the batching server."""
+    / pre-cast) params.  Shared by the eval CLI and the batching server.
+
+    quant='int8' (mrlal engine only) swaps in the lossy PTQ engine
+    (serving/quant.py); calib_x is the calibration batch (required)."""
     engine = engine if engine != "auto" else _pick_engine(arch)
     mb_kw = {} if microbatch is None else {"microbatch": microbatch}
+    if quant != "none":
+        if quant not in ("int8", "int8-fast"):
+            raise ValueError(f"unknown quant mode {quant!r}")
+        if engine != "mrlal":
+            raise ValueError(
+                f"--quant {quant} supports the mrlal engine only, got {engine}"
+            )
+        if calib_x is None:
+            raise ValueError(f"--quant {quant} needs a calibration batch")
+        from mrla_tpu.serving.quant import (
+            prepare_quant_params, resnet_mrlal_quant_forward,
+        )
+
+        layers = tuple(model.layers)
+        qp = prepare_quant_params(
+            jax.device_get(variables), calib_x, layers=layers
+        )
+        qmb = {"microbatch": 64, **mb_kw}  # honest-harness winner (exp_quant)
+        return lambda x: resnet_mrlal_quant_forward(
+            qp, x, layers=layers, quant_residual=quant == "int8-fast", **qmb
+        )
     if engine == "mrlal":
         from mrla_tpu.serving import (
             prepare_inference_params, resnet_mrlal_forward,
@@ -167,15 +199,29 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     model = create_model(args.arch, num_classes=args.num_classes)
     variables = _load_variables(args, model)
-    fwd = make_engine_forward(
-        args.arch, model, variables, engine=args.engine,
-        microbatch=args.microbatch, num_classes=args.num_classes,
-    )
 
     import os
 
     val_dir = os.path.join(args.data, "val")
     ds = ImageFolder(val_dir if os.path.isdir(val_dir) else args.data)
+
+    calib_x = None
+    if args.quant != "none":
+        # calibrate activation scales on the first batch of the eval data
+        n_cal = min(len(ds), args.batch_size)
+        for b in iterate_batches(ds, np.arange(n_cal), n_cal,
+                                 args.image_size, train=False,
+                                 num_threads=args.workers, drop_last=False):
+            img = jnp.asarray(b["image"])
+            calib_x = normalize(img) if img.dtype == jnp.uint8 else img
+            break
+
+    fwd = make_engine_forward(
+        args.arch, model, variables, engine=args.engine,
+        microbatch=args.microbatch, num_classes=args.num_classes,
+        quant=args.quant, calib_x=calib_x,
+    )
+
     idxs = np.arange(len(ds))
     if args.limit:
         idxs = idxs[: args.limit]

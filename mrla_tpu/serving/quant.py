@@ -1,0 +1,366 @@
+"""int8 post-training-quantized resnet_mrlal serving engine.
+
+Beyond-parity serving mode (the reference serves fp32 torch —
+`/root/reference/resnet/train.py:433` validate loop): the shipped bf16
+engine is bandwidth-bound at ~9.7 GB/iter real traffic (149% of its
+cost-model roofline, MXU roof 2.3x away — scripts/exp_serveroofline.py),
+so the only remaining lever is fewer REAL bytes.  int8 halves every conv
+input read/write and the v5e MXU runs s8xs8->s32 at 2x the bf16 rate.
+
+Scheme (standard symmetric post-training quantization):
+  * conv kernels (BN-folded, from prepare_inference_params): per-output-
+    channel int8, scale sw[c] = absmax/127.
+  * activations: per-tensor STATIC scales calibrated from one bf16 forward
+    (absmax at each quant point) — no runtime reductions for scales.
+  * each conv runs s8xs8 -> int32 (preferred_element_type), then one fused
+    f32 dequant multiply m[c] = s_in * sw[c] + bias + relu + requant chain
+    that XLA folds into the conv output epilogue; int32 never hits HBM.
+  * the residual stream is carried int8 between blocks (identity add uses
+    the dequantized tensor — the standard int8-CNN contract); the MRLA
+    epilogue (GAP/gate/dwconv/λ/BN — reference mrla_light_module.py:52-74)
+    stays bf16: it is elementwise/bandwidth work with no MXU to feed.
+  * stem + head stay bf16 (3-channel input / single fc — negligible).
+
+Accuracy contract: this is LOSSY (int8 PTQ).  Ships as an opt-in
+(`--quant int8` / `--quant int8-fast` on the serving CLI); the test suite
+pins logit closeness on random weights and scripts/exp_quant_acc.py
+measures trained-model top-1 on the synthetic task.
+
+FINAL MEASURED VERDICT (real v5e, bs128 224px, honest input-perturbed
+harness — scripts/exp_quant.py, exp_quant_acc.py): int8 PTQ is NOT a
+meaningful win for this architecture on TPU, and the numbers say exactly
+why:
+
+  * isolated 3x3x512 conv: s8 1.77x over bf16 (bf16 already at ~90% of
+    MXU peak; s8 ~312 TOP/s) — the arithmetic win is real in isolation.
+  * full engine, int8 residual carry (quant_residual=True): 11,537 img/s
+    = +7% over the shipped bf16 10,778 — but on a TRAINED net the
+    requantized residual stream accumulates error across 16 blocks and
+    costs 26 points of top-1 on the synthetic task (100% -> 73.6%).
+    Percentile-clipping calibration makes it WORSE (85.6% at p99.9 but
+    collapses on the harder split — this net's activation outliers are
+    real signal, not noise).
+  * accuracy-safe form (quant_residual=False: bf16 residual stream,
+    int8 conv inputs only): top-1 transparent (100.0% == bf16, 99-100%
+    prediction agreement) but only 10,855 img/s = +0.7% — the conv byte
+    savings are offset by the extra int8 copies next to the retained
+    bf16 stream.
+  * quantizing the MRLA epilogue too (quant_epilogue=True): ~1% LOSS —
+    the depthwise Wv conv is VPU-bound (no MXU rate to double) and the
+    requant chains add elementwise traffic.
+
+Structural summary: the serving program is bandwidth-bound in its
+EPILOGUE/elementwise stream, not conv-MXU-bound, so halving conv bytes
+moves little; and the one transformation that would move real bytes
+(int8 residual carry) is exactly the one that breaks accuracy.  The
+safe form is the default; the bf16 engine remains the shipped headline
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrla_tpu.kernels.mrla_epilogue import mrla_light_epilogue_reference
+from mrla_tpu.ops.common import channel_conv1d
+from mrla_tpu.serving.resnet_mrlal import (
+    _conv,
+    _stem,
+    prepare_inference_params,
+)
+
+
+def _strides_for(layers: Sequence[int]):
+    strides = []
+    stage_last = []
+    for stage_idx, blocks in enumerate(layers):
+        for block_idx in range(blocks):
+            strides.append(2 if (stage_idx > 0 and block_idx == 0) else 1)
+        stage_last.append(len(strides) - 1)
+    return strides, stage_last
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layers", "dim_perhead", "percentile")
+)
+def _calib_absmax(sp: Dict, x: jax.Array, layers: Sequence[int],
+                  dim_perhead: int, percentile: float = 100.0):
+    """bf16 forward collecting per-tensor range at every quant point.
+
+    percentile=100 -> absmax; else the given percentile of |t| (clipping
+    calibration — robust to activation outliers, the standard PTQ fix).
+
+    Returns (stem_range, per-block [out1, out2, out_act, y] ranges
+    [n_blocks, 4])."""
+
+    def rng_of(t):
+        a = jnp.abs(t.astype(jnp.float32))
+        if percentile >= 100.0:
+            return jnp.max(a)
+        return jnp.percentile(a.reshape(-1), percentile)
+
+    strides, _ = _strides_for(layers)
+    x = x.astype(sp["stem"]["k"].dtype)
+    y = _stem(x, sp["stem"])
+    stem_am = rng_of(y)
+    rows = []
+    for p, stride in zip(sp["blocks"], strides):
+        heads = p["lam"].shape[0] // dim_perhead
+        out1 = jax.nn.relu(_conv(y, p["k1"], p["b1"]))
+        out2 = jax.nn.relu(_conv(out1, p["k2"], p["b2"], stride=stride))
+        z = _conv(out2, p["k3"], p["b3"])
+        identity = (
+            _conv(y, p["kd"], p["bd"], stride=stride) if "kd" in p else y
+        )
+        out = jax.nn.relu(z + identity)
+        y = mrla_light_epilogue_reference(
+            out, identity, p["wq"], p["wk"], p["wv"], p["lam"],
+            p["bn_scale"], p["bn_bias"], heads,
+        )
+        rows.append(jnp.stack([
+            rng_of(out1), rng_of(out2), rng_of(out), rng_of(y),
+        ]))
+    return stem_am, jnp.stack(rows)
+
+
+def _quant_kernel(k) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8; returns (kq [HWIO int8], sw [O])."""
+    k = np.asarray(k, np.float32)
+    sw = np.maximum(np.max(np.abs(k), axis=(0, 1, 2)), 1e-12) / 127.0
+    kq = np.clip(np.rint(k / sw), -127, 127).astype(np.int8)
+    return kq, sw
+
+
+def prepare_quant_params(
+    variables: Dict,
+    calib_x: jax.Array,
+    layers: Sequence[int] = (3, 4, 6, 3),
+    dim_perhead: int = 32,
+    percentile: float = 100.0,
+) -> Dict:
+    """Build the int8 serving tree from flax variables + a calibration batch.
+
+    calib_x: [B, H, W, 3] representative inputs (a handful of real batches;
+    any batch size).  Scales are baked as f32 constants into the tree.
+    percentile < 100 switches to clipping calibration (outlier-robust)."""
+    sp = prepare_inference_params(
+        variables, layers=layers, dtype=jnp.bfloat16, s2d=False
+    )
+    stem_am, rows = jax.device_get(
+        _calib_absmax(sp, jnp.asarray(calib_x), tuple(layers), dim_perhead,
+                      percentile=percentile)
+    )
+    rows = np.asarray(rows, np.float32)
+    a_stem = float(max(stem_am, 1e-6)) / 127.0
+
+    out: Dict[str, Any] = {"stem": sp["stem"], "fc": sp["fc"], "blocks": []}
+    a_in = a_stem
+    out["inv_a_stem"] = np.float32(1.0 / a_stem)
+    for i, p in enumerate(sp["blocks"]):
+        a1 = float(max(rows[i, 0], 1e-6)) / 127.0
+        a2 = float(max(rows[i, 1], 1e-6)) / 127.0
+        ao = float(max(rows[i, 2], 1e-6)) / 127.0
+        ay = float(max(rows[i, 3], 1e-6)) / 127.0
+        blk: Dict[str, Any] = {}
+        for ci, s_in in (("1", a_in), ("2", a1), ("3", a2)):
+            kq, sw = _quant_kernel(p[f"k{ci}"])
+            blk[f"k{ci}q"] = jnp.asarray(kq)
+            blk[f"m{ci}"] = jnp.asarray(s_in * sw, jnp.float32)
+            blk[f"b{ci}"] = jnp.asarray(p[f"b{ci}"], jnp.float32)
+        if "kd" in p:
+            kq, sw = _quant_kernel(p["kd"])
+            blk["kdq"] = jnp.asarray(kq)
+            blk["md"] = jnp.asarray(a_in * sw, jnp.float32)
+            blk["bd"] = jnp.asarray(p["bd"], jnp.float32)
+        # quant-epilogue extras: int8 depthwise Wv (per-channel over the
+        # [3, 3, 1] taps) + the out_act scale
+        wv = np.asarray(p["wv"], np.float32)  # [3,3,1,C]
+        sv = np.maximum(np.max(np.abs(wv), axis=(0, 1, 2)), 1e-12) / 127.0
+        blk["wvq"] = jnp.asarray(
+            np.clip(np.rint(wv / sv), -127, 127).astype(np.int8)
+        )
+        blk["mv"] = jnp.asarray(ao * sv, jnp.float32)
+        blk["a_in"] = np.float32(a_in)
+        blk["a_out"] = np.float32(ao)
+        blk["inv_a1"] = np.float32(1.0 / a1)
+        blk["inv_a2"] = np.float32(1.0 / a2)
+        blk["inv_a_out"] = np.float32(1.0 / ao)
+        blk["inv_ay"] = np.float32(1.0 / ay)
+        for name in ("wq", "wk", "wv", "lam", "bn_scale", "bn_bias"):
+            blk[name] = p[name]
+        out["blocks"].append(blk)
+        a_in = ay
+    return out
+
+
+def _quant(x, inv_scale):
+    xf = x.astype(jnp.float32) * inv_scale
+    return jnp.clip(jnp.round(xf), -127.0, 127.0).astype(jnp.int8)
+
+
+def _qconv(xq, kq, m, b, stride=1):
+    p = kq.shape[0] // 2
+    acc = jax.lax.conv_general_dilated(
+        xq, kq, (stride, stride),
+        ((p, p), (p, p)) if p else "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * m + b
+
+
+def _qblock(yq, p, stride: int, heads: int, last: bool,
+            quant_epilogue: bool):
+    out1 = jax.nn.relu(_qconv(yq, p["k1q"], p["m1"], p["b1"]))
+    q1 = _quant(out1, p["inv_a1"])
+    out2 = jax.nn.relu(_qconv(q1, p["k2q"], p["m2"], p["b2"], stride=stride))
+    q2 = _quant(out2, p["inv_a2"])
+    z = _qconv(q2, p["k3q"], p["m3"], p["b3"])
+    if "kdq" in p:
+        identity = _qconv(yq, p["kdq"], p["md"], p["bd"], stride=stride)
+    else:
+        identity = yq.astype(jnp.float32) * p["a_in"]
+    if quant_epilogue:
+        y = _quant_epilogue(z, identity, p, heads)
+    else:
+        out = jax.nn.relu(z + identity).astype(jnp.bfloat16)
+        y = mrla_light_epilogue_reference(
+            out, identity.astype(jnp.bfloat16), p["wq"], p["wk"], p["wv"],
+            p["lam"], p["bn_scale"], p["bn_bias"], heads,
+        ).astype(jnp.float32)
+    return y if last else _quant(y, p["inv_ay"])
+
+
+def _qblock_bf16res(y, p, stride: int, heads: int):
+    """Block with the residual stream kept bf16 (quant_residual=False):
+    only the conv INPUTS are quantized (a fresh int8 copy per conv), so the
+    non-downsample identity path and the MRLA epilogue are exact bf16 — the
+    accuracy-safe form (quantization error no longer accumulates through
+    the requantized residual carry).  The int8 copies still halve every
+    conv read and keep the s8 MXU rate; the bf16 stream adds back its
+    materialization."""
+    yq = _quant(y, 1.0 / p["a_in"])
+    out1 = jax.nn.relu(_qconv(yq, p["k1q"], p["m1"], p["b1"]))
+    q1 = _quant(out1, p["inv_a1"])
+    out2 = jax.nn.relu(_qconv(q1, p["k2q"], p["m2"], p["b2"], stride=stride))
+    q2 = _quant(out2, p["inv_a2"])
+    z = _qconv(q2, p["k3q"], p["m3"], p["b3"])
+    if "kdq" in p:
+        identity = _qconv(yq, p["kdq"], p["md"], p["bd"], stride=stride)
+        identity = identity.astype(jnp.bfloat16)
+    else:
+        identity = y.astype(jnp.bfloat16)
+    out = jax.nn.relu(z.astype(jnp.bfloat16) + identity)
+    return mrla_light_epilogue_reference(
+        out, identity, p["wq"], p["wk"], p["wv"],
+        p["lam"], p["bn_scale"], p["bn_bias"], heads,
+    ).astype(jnp.bfloat16)
+
+
+def _quant_epilogue(z, identity, p, heads: int):
+    """MRLA epilogue with the [B,H,W,C] stream carried int8.
+
+    out_act is quantized once (fused into the conv3 dequant chain) and every
+    heavy consumer reads the int8 tensor: the GAP is an EXACT integer sum
+    (scaled after), the depthwise Wv conv runs s8xs8->s32, and the final
+    residual add dequantizes in-register.  λ·identity reads the dequant of
+    the int8 block input (XLA fuses the scale into the consumer, so no
+    second f32 map is materialized for non-downsample blocks)."""
+    out_q = _quant(jax.nn.relu(z + identity), p["inv_a_out"])  # int8
+    b, h, w, c = out_q.shape
+    d = c // heads
+    # gate from the exact integer GAP
+    sums = jnp.sum(out_q.astype(jnp.int32), axis=(1, 2))  # [B, C] exact
+    mean = sums.astype(jnp.float32) * (p["a_out"] / (h * w))
+    q = channel_conv1d(mean, p["wq"].astype(jnp.float32)).reshape(b, heads, d)
+    k = channel_conv1d(mean, p["wk"].astype(jnp.float32)).reshape(b, heads, d)
+    attn = jax.nn.sigmoid(jnp.sum(q * k, -1) / jnp.sqrt(jnp.float32(d)))
+    gate = jnp.repeat(attn, d, axis=-1)[:, None, None, :]  # [B,1,1,C]
+    # int8 depthwise value projection
+    vq = jax.lax.conv_general_dilated(
+        out_q, p["wvq"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.int32,
+    )
+    v = vq.astype(jnp.float32) * p["mv"]
+    mrla = v * gate + p["lam"].astype(jnp.float32) * identity
+    return (
+        out_q.astype(jnp.float32) * p["a_out"]
+        + mrla * p["bn_scale"] + p["bn_bias"]
+    )
+
+
+def _qblocks_head(qp: Dict, yq, layers, dim_perhead, quant_epilogue,
+                  quant_residual=True):
+    strides, _ = _strides_for(layers)
+    blocks = qp["blocks"]
+    if len(blocks) != len(strides):
+        raise ValueError(
+            f"quant params hold {len(blocks)} blocks but layers="
+            f"{tuple(layers)} implies {len(strides)}"
+        )
+    for i, (p, stride) in enumerate(zip(blocks, strides)):
+        heads = p["lam"].shape[0] // dim_perhead
+        if quant_residual:
+            yq = _qblock(yq, p, stride, heads, last=i == len(blocks) - 1,
+                         quant_epilogue=quant_epilogue)
+        else:
+            yq = _qblock_bf16res(yq, p, stride, heads)
+    pooled = jnp.mean(yq.astype(jnp.float32), axis=(1, 2))
+    fc = qp["fc"]
+    return pooled @ fc["k"].astype(jnp.float32) + fc["b"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layers", "dim_perhead", "microbatch", "quant_epilogue",
+                     "quant_residual"),
+)
+def resnet_mrlal_quant_forward(
+    qp: Dict,
+    x: jax.Array,
+    layers: Sequence[int] = (3, 4, 6, 3),
+    dim_perhead: int = 32,
+    microbatch: int = 64,
+    quant_epilogue: bool = False,
+    quant_residual: bool = False,
+) -> jax.Array:
+    """[B, H, W, 3] -> fp32 logits through the int8 engine.
+
+    Chain scheduling mirrors the bf16 engine's shipped shared-stem form:
+    stem+maxpool on the full batch (bf16), one full-batch quantize, then
+    independent `microbatch`-image int8 chains traced side by side.
+
+    Defaults are the ACCURACY-SAFE form (quant_residual=False: bf16
+    residual stream, int8 conv inputs — top-1 transparent, +0.7%).
+    quant_residual=True is the fast-lossy form (+7%, int8 residual carry
+    — measured 26-point top-1 cost on the trained synthetic task);
+    quant_epilogue=True additionally carries the epilogue stream int8
+    (a measured ~1% perf LOSS, kept as the recorded variant).  Numbers:
+    module docstring + scripts/exp_quant.py."""
+    y = _stem(x.astype(qp["stem"]["k"].dtype), qp["stem"])
+    yq = _quant(y, qp["inv_a_stem"]) if quant_residual else y
+    b = x.shape[0]
+    if microbatch and b > microbatch and b % microbatch == 0:
+        return jnp.concatenate(
+            [
+                _qblocks_head(
+                    qp,
+                    yq[i * microbatch : (i + 1) * microbatch],
+                    layers,
+                    dim_perhead,
+                    quant_epilogue,
+                    quant_residual,
+                )
+                for i in range(b // microbatch)
+            ],
+            axis=0,
+        )
+    return _qblocks_head(qp, yq, layers, dim_perhead, quant_epilogue,
+                         quant_residual)

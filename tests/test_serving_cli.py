@@ -72,6 +72,28 @@ def test_cli_precast_engine(tiny_imagefolder):
     assert res["images"] == 6
 
 
+def test_cli_quant_int8(tiny_imagefolder):
+    """--quant int8 routes to the PTQ engine (calibrated on the first eval
+    batch) and still evaluates every image."""
+    res = main([
+        "-a", "resnet50_mrlal", "--data", tiny_imagefolder,
+        "-b", "4", "--image-size", "64", "--num-classes", "2",
+        "--workers", "2", "--quant", "int8", "--limit", "6",
+    ])
+    assert res["engine"] == "mrlal"
+    assert res["images"] == 6
+
+
+def test_cli_quant_rejected_off_mrlal():
+    import pytest as _pytest
+
+    from mrla_tpu.serving.cli import make_engine_forward
+
+    with _pytest.raises(ValueError, match="mrlal engine only"):
+        make_engine_forward("resnet50", None, None, engine="precast",
+                            quant="int8", calib_x=object())
+
+
 def test_cli_resume_from_orbax_run(tiny_imagefolder, tmp_path):
     """Train briefly with the train CLI, then evaluate the saved orbax
     checkpoint through the serving CLI's --resume path."""
