@@ -110,6 +110,7 @@ class RetinaNet(nn.Module):
     scales_per_octave: int = 3
     ratios: Sequence[float] = (0.5, 1.0, 2.0)
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize backbone blocks in backward
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -121,6 +122,7 @@ class RetinaNet(nn.Module):
             features_only=True,
             use_drop_path=False,  # mmdet epilogue has no DropPath
             dtype=self.dtype,
+            remat=self.remat,
             name="backbone",
         )(x, train)
         feats = FPN(

@@ -300,6 +300,8 @@ def build_server(
     port: int = 8000,
     timeout_s: float = 120.0,
     input_dtype=None,
+    quant: str = "none",
+    calib_x=None,
 ):
     """Returns (ThreadingHTTPServer, BatchingEngine) ready for
     serve_forever(); the first request triggers the engine jit unless you
@@ -311,7 +313,7 @@ def build_server(
 
     fwd = make_engine_forward(
         arch, model, variables, engine=engine, microbatch=microbatch,
-        num_classes=num_classes,
+        num_classes=num_classes, quant=quant, calib_x=calib_x,
     )
     if input_dtype is None:
         import ml_dtypes
@@ -466,6 +468,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "mrlal", "mrlab", "precast"])
     p.add_argument("--microbatch", type=int, default=None)
+    p.add_argument("--quant", default="none",
+                   choices=("none", "int8", "int8-fast"),
+                   help="int8 PTQ engine (mrlal only); requires "
+                        "--calib-npy")
+    p.add_argument("--calib-npy", default=None,
+                   help="calibration batch for --quant: .npy [B,H,W,3] "
+                        "float (normalized) images")
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--timeout-s", type=float, default=120.0,
                    help="per-request inference wait before 504")
@@ -581,12 +590,18 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     model = create_model(args.arch, num_classes=args.num_classes)
     variables = _load_variables(args, model)
+    calib_x = None
+    if args.quant != "none":
+        if not args.calib_npy:
+            raise SystemExit("--quant needs --calib-npy (a [B,H,W,3] "
+                             "float .npy of normalized images)")
+        calib_x = np.load(args.calib_npy)
     httpd, beng = build_server(
         args.arch, variables, batch_size=args.batch_size,
         image_size=args.image_size, num_classes=args.num_classes,
         engine=args.engine, microbatch=args.microbatch,
         max_wait_ms=args.max_wait_ms, host=args.host, port=args.port,
-        timeout_s=args.timeout_s,
+        timeout_s=args.timeout_s, quant=args.quant, calib_x=calib_x,
     )
     # warm the jit before accepting traffic (first compile is minutes for
     # the microbatched program; .jax_cache makes repeats fast).  Same dtype

@@ -246,6 +246,43 @@ def test_http_with_real_mrlal_engine():
         eng.close()
 
 
+def test_quant_engine_through_batching_server():
+    """--quant int8 path: make_engine_forward routes to the PTQ engine and
+    the batching server serves it (pads + per-row exactness preserved)."""
+    import jax
+
+    from mrla_tpu.models.resnet_mrla_light import ResNetMRLALight
+    from mrla_tpu.serving.cli import make_engine_forward
+
+    model = ResNetMRLALight(layers=[1, 1], num_classes=7)
+    variables = jax.device_get(
+        model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
+    )
+    calib = np.random.default_rng(5).standard_normal(
+        (2, 16, 16, 3)
+    ).astype(np.float32)
+    fwd = make_engine_forward(
+        "resnet50_mrlal", model, variables, microbatch=0, num_classes=7,
+        quant="int8", calib_x=calib,
+    )
+    eng = BatchingEngine(fwd, batch_size=4, image_shape=(16, 16, 3),
+                         max_wait_ms=10.0)
+    try:
+        imgs = _images(3, seed=6).astype(np.float32) if SHAPE == (16, 16, 3) \
+            else np.random.default_rng(6).standard_normal(
+                (3, 16, 16, 3)).astype(np.float32)
+        pend = [eng.submit(im) for im in imgs]
+        for p in pend:
+            assert p.event.wait(30.0)
+            assert p.error is None
+        got = np.stack([p.logits for p in pend])
+        want = np.asarray(fwd(np.concatenate(
+            [imgs, imgs[:1]], axis=0)))[:3]
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        eng.close()
+
+
 def test_http_detections_json():
     """--detect-output detections: the full native RetinaNet through the
     batching server answers JSON boxes/scores/labels with invalid rows
