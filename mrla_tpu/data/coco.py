@@ -17,9 +17,11 @@ shapes (TPU discipline):
   * annotations with ``iscrowd=1`` or zero width/height are dropped
     (mmdet filters these for training).
 
-Masks: polygon/RLE rasterization is out of scope here (mmdet uses
-pycocotools); Mask R-CNN training from COCO json therefore needs
-externally-provided masks — the synthetic task covers the mask-loss path.
+Masks: segmentations decode without pycocotools — polygon even-odd
+rasterization (``polygons_to_mask``) and compressed/uncompressed RLE
+(``rle_to_mask``, maskApi.c 6-bit string format) — and flow into batches
+via ``with_masks=True`` (letterboxed + flipped with the image), so Mask
+R-CNN trains from a real instances json end to end.
 """
 
 from __future__ import annotations

@@ -29,7 +29,7 @@ TPU deviations (static shapes, documented):
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
