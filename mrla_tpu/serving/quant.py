@@ -51,10 +51,17 @@ why:
 
 Structural summary: the serving program is bandwidth-bound in its
 EPILOGUE/elementwise stream, not conv-MXU-bound, so halving conv bytes
-moves little; and the one transformation that would move real bytes
-(int8 residual carry) is exactly the one that breaks accuracy.  The
-safe form is the default; the bf16 engine remains the shipped headline
-path.
+moves little at bs128; and the one transformation that would move real
+bytes there (int8 residual carry) is exactly the one that breaks
+accuracy.  The safe form is the default; the bf16 engine remains the
+shipped headline path.
+
+Where int8 DOES win (scripts/exp_quant_latency.py): small batches.
+At bs<=32 weight bytes dominate traffic and the safe form is +14% over
+bf16 (bs32: 2.770 vs 3.157 ms = 11,552 vs 10,135 img/s) at
+accuracy-transparent quality — the deployment case for
+``-b 32 --quant int8``.  bs1 is latency-chain-bound (~70 sequential
+ops); no dtype helps there.
 """
 
 from __future__ import annotations

@@ -129,7 +129,9 @@ def main() -> None:
         print(f"fidelity qepi={qe} (random weights): top1 agree {agree:.3f}  "
               f"max|Δlogit| {err:.4f}  rel {rel:.4f}", flush=True)
 
-    mbs = [int(a) for a in sys.argv[1:]] or [0, 16, 32, 64]
+    seq_only = sys.argv[1:] == ["seq"]
+    mbs = ([] if seq_only
+           else [int(a) for a in sys.argv[1:]] or [0, 16, 32, 64])
     x = jax.device_put(x_eval)
 
     def run_q(mb, qe, qres=True):
@@ -153,6 +155,44 @@ def main() -> None:
         for mb in mbs:
             dt = timeit(run_q(mb, qe, qres), qp, x)
             print(f"quant {tag}mb{mb}: {BATCH * ITERS / dt:.1f} img/s",
+                  flush=True)
+
+    # SEQUENTIAL chains: lax.map over mb-image chunks (each iteration is a
+    # small-working-set subprogram) — motivated by bs32 standalone beating
+    # every bs128 form on the int8 engine (exp_quant_latency.py)
+    from mrla_tpu.serving.quant import _qblocks_head, _quant
+    from mrla_tpu.serving.resnet_mrlal import _stem
+
+    def run_seq(qres, mb):
+        @jax.jit
+        def run(qp, x):
+            def fwd(xx):
+                y = _stem(xx.astype(qp["stem"]["k"].dtype), qp["stem"])
+                yq = _quant(y, qp["inv_a_stem"]) if qres else y
+                n = yq.shape[0] // mb
+                ych = yq.reshape((n, mb) + yq.shape[1:])
+                logits = jax.lax.map(
+                    lambda z: _qblocks_head(qp, z, (3, 4, 6, 3), 32, False,
+                                            qres),
+                    ych,
+                )
+                return logits.reshape(-1, logits.shape[-1])
+
+            def body(carry, _):
+                xx = x + (carry * 1e-20).astype(x.dtype)
+                return jnp.sum(fwd(xx)[:, 0]).astype(jnp.float32), None
+
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=ITERS)
+            return carry
+
+        return run
+
+    for qres in (True, False):
+        for mb in (32, 64):
+            dt = timeit(run_seq(qres, mb), qp, x)
+            tag = "" if qres else "bf16res "
+            print(f"quant {tag}seqchain{mb}: {BATCH * ITERS / dt:.1f} img/s",
                   flush=True)
 
 
