@@ -229,6 +229,9 @@ class FasterRCNN(nn.Module):
     # knob (the RoI stage is gather-row-bound — see detect/roi_align.py)
     roi_sampling_ratio: int = 2
     dtype: Any = jnp.float32
+    # backbone rematerialization for big-batch training; at the reference
+    # contract (bs8 COCO) it LOSES 11% — ROADMAP detection-train ledger
+    remat: bool = False
 
     def setup(self):
         from mrla_tpu.detect.fpn import FPN
@@ -239,6 +242,7 @@ class FasterRCNN(nn.Module):
             features_only=True,
             use_drop_path=False,  # mmdet epilogue has no DropPath
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.neck = FPN(
             out_channels=self.fpn_out_channels, num_outs=5, dtype=self.dtype

@@ -247,3 +247,31 @@ def test_mask_rcnn_end_to_end():
     assert res["masks"].shape == (1, 5, 28, 28)
     m = np.asarray(res["masks"])
     assert np.all((m >= 0) & (m <= 1))
+
+
+def test_remat_forward_identical():
+    """remat=True must not change numerics (it only recomputes in the
+    backward); checked for both detector families at tiny shapes."""
+    from mrla_tpu.detect.retinanet import RetinaNet
+    from mrla_tpu.detect.two_stage import FasterRCNN, init_detector
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 64, 64, 3)),
+        jnp.float32,
+    )
+    for cls, kwargs in (
+        (RetinaNet, {}),
+        (FasterRCNN, dict(rpn_nms_pre=50, num_proposals=20)),
+    ):
+        m0 = cls(layers=(1, 1, 1, 1), num_classes=3, **kwargs)
+        m1 = cls(layers=(1, 1, 1, 1), num_classes=3, remat=True, **kwargs)
+        if cls is FasterRCNN:
+            v = init_detector(m0, jax.random.key(0), x)
+            o0 = m0.apply(v, x, method=FasterRCNN.extract_feats)
+            o1 = m1.apply(v, x, method=FasterRCNN.extract_feats)
+        else:
+            v = m0.init(jax.random.key(0), x, train=False)
+            o0 = m0.apply(v, x, train=False)
+            o1 = m1.apply(v, x, train=False)
+        for a, b in zip(jax.tree.leaves(o0), jax.tree.leaves(o1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
