@@ -77,6 +77,10 @@ def parse_args(argv=None):
     p.add_argument("--pretrained-backbone", default=None,
                    help="orbax classification run dir (init_cfg Pretrained)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone blocks in backward "
+                        "(loses 11%% at the bs8 COCO contract — for "
+                        "bigger batches; ROADMAP detection-train ledger)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel over N devices (GSPMD mesh; batch "
                         "must divide by N; params replicated — the "
@@ -104,11 +108,12 @@ def build_model(args):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if "retinanet" in args.preset:
         return RetinaNet(layers=layers, num_classes=args.num_classes,
-                         dtype=dtype), "retinanet"
+                         dtype=dtype, remat=args.remat), "retinanet"
     cls = MaskRCNN if "mask" in args.preset else FasterRCNN
     return (
         cls(layers=layers, num_classes=args.num_classes,
-            num_proposals=args.rpn_proposals, dtype=dtype),
+            num_proposals=args.rpn_proposals, dtype=dtype,
+            remat=args.remat),
         "two_stage",
     )
 

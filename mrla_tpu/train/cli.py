@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--print-freq", type=int, default=50)
     p.add_argument("--bf16", action="store_true", help="bf16 compute dtype")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone blocks in backward "
+                        "(resnet families; measured to LOSE at the "
+                        "reference batch sizes — for bigger-than-HBM runs)")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of steps 5-15 of the "
                         "first epoch (xprof-compatible)")
@@ -177,6 +181,10 @@ def main(argv=None) -> dict:
         )
     if args.drop_rate:
         model_kw["drop_rate"] = args.drop_rate
+    if args.remat:
+        # supported by the resnet families; other archs reject the kwarg
+        # loudly (flax dataclass TypeError) rather than silently ignoring
+        model_kw["remat"] = True
     model = create_model(args.arch, **model_kw)
 
     # timm create_transform (DeiT/ResMLP/PatchConvNet/EfficientNet recipes,
