@@ -29,7 +29,7 @@ TPU deviations (static shapes, documented):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
