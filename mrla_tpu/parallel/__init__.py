@@ -13,6 +13,12 @@ from mrla_tpu.parallel.mesh import (
     local_mesh,
 )
 from mrla_tpu.parallel.sharding import tp_shardings, shard_train_state
+from mrla_tpu.parallel.pipeline import (
+    make_pipelined_vit,
+    pipeline_shardings,
+    stack_block_params,
+    unstack_block_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -22,4 +28,8 @@ __all__ = [
     "local_mesh",
     "tp_shardings",
     "shard_train_state",
+    "make_pipelined_vit",
+    "pipeline_shardings",
+    "stack_block_params",
+    "unstack_block_params",
 ]
