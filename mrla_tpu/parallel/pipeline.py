@@ -144,7 +144,7 @@ def make_pipelined_vit(
     pipe_axis: str = "pipe",
     data_axis: Optional[str] = None,
 ):
-    """Pipeline-parallel forward for a ViTMRLA('light') model.
+    """Pipeline-parallel forward for a ViTMRLA('light') or plain DeiT model.
 
     Returns (forward, forward_from_stacked):
       forward(params, x)                -> logits   (stacks inside; grads in
@@ -153,45 +153,60 @@ def make_pipelined_vit(
                                                      stacked tree sharded
                                                      P('pipe') end to end)
 
-    Topology parity: identical math to ViTMRLA.__call__ at drop rates 0
-    (models/deit_mrla.py:143-190) — patch embed + cls/pos outside the
-    pipeline (tiny, replicated), the `depth` blocks pipelined, final
-    norm/head outside.  The cls token rides inside the token axis, so the
-    reference's cls-bypass quirk (deit_mrla_light.py:199-207) is preserved
-    by the block module itself.
+    Topology parity: identical math to the container's __call__ at drop
+    rates 0 (models/deit_mrla.py:143-190, models/deit.py:146-201) — patch
+    embed + cls/dist/pos outside the pipeline (tiny, replicated), the
+    `depth` blocks pipelined, final norm/head(s) outside.  The cls token
+    rides inside the token axis, so the reference's cls-bypass quirk
+    (deit_mrla_light.py:199-207) is preserved by the block module itself;
+    distilled models return the eval-mode (head + head_dist)/2 average
+    (models.py head semantics).
     """
-    from mrla_tpu.models.deit import PatchEmbed
+    from mrla_tpu.models.deit import PatchEmbed, ViTBlock, VisionTransformer
     from mrla_tpu.models.deit_mrla import MRLAViTBlock, ViTMRLA
 
-    assert isinstance(model, ViTMRLA) and model.variant == "light", (
-        "pipeline parallelism supports ViTMRLA('light') — the stateless-"
-        "epilogue family with shape-homogeneous blocks; mrlab's growing K/V "
-        "cache crosses stage boundaries with non-uniform shapes"
-    )
+    if isinstance(model, ViTMRLA):
+        assert model.variant == "light", (
+            "mrlab's growing K/V cache crosses stage boundaries with "
+            "non-uniform shapes; pipeline the light variant"
+        )
+        block = MRLAViTBlock(
+            model.num_heads, model.dim_mrla, "light", model.mlp_ratio,
+            model.qkv_bias, 0.0, 0.0, 0.0, model.dtype,
+        )
+
+        def apply_block(p, x):
+            y, _ = block.apply({"params": p}, x, None, False)
+            return y
+
+        distilled = False
+    elif isinstance(model, VisionTransformer):
+        block = ViTBlock(
+            model.num_heads, model.mlp_ratio, model.qkv_bias,
+            0.0, 0.0, 0.0, model.dtype,
+        )
+
+        def apply_block(p, x):
+            return block.apply({"params": p}, x, False)
+
+        distilled = model.distilled
+    else:
+        raise TypeError(
+            f"unsupported model for pipelining: {type(model).__name__} "
+            "(need shape-homogeneous 'block{i}' stages)"
+        )
     stages = mesh.shape[pipe_axis]
     depth = model.depth
     assert depth % stages == 0, f"depth {depth} % pipe {stages} != 0"
     m = num_microbatches
 
-    block = MRLAViTBlock(
-        model.num_heads,
-        model.dim_mrla,
-        "light",
-        model.mlp_ratio,
-        model.qkv_bias,
-        0.0,
-        0.0,
-        0.0,
-        model.dtype,
-    )
     embed = PatchEmbed(model.patch_size, model.embed_dim, model.dtype)
     norm = nn.LayerNorm(epsilon=1e-6, dtype=model.dtype)
     head = nn.Dense(model.num_classes, dtype=model.dtype)
 
     def stage_fn(stacked, x):
         def body(x, p):
-            y, _ = block.apply({"params": p}, x, None, False)
-            return y, None
+            return apply_block(p, x), None
 
         y, _ = jax.lax.scan(body, x, stacked)
         return y
@@ -211,13 +226,21 @@ def make_pipelined_vit(
         c = model.embed_dim
         tokens = embed.apply({"params": rest["patch_embed"]}, x.astype(model.dtype))
         n = tokens.shape[1]
-        cls = jnp.broadcast_to(rest["cls_token"].astype(tokens.dtype), (b, 1, c))
-        h = jnp.concatenate([cls, tokens], axis=1)
+        parts = [jnp.broadcast_to(rest["cls_token"].astype(tokens.dtype), (b, 1, c))]
+        if distilled:
+            parts.append(
+                jnp.broadcast_to(rest["dist_token"].astype(tokens.dtype), (b, 1, c))
+            )
+        nt = n + len(parts)
+        h = jnp.concatenate(parts + [tokens], axis=1)
         h = h + rest["pos_embed"].astype(h.dtype)
-        out = sched(stacked, h.reshape(m, b // m, n + 1, c))
-        h = out.reshape(b, n + 1, c)
+        out = sched(stacked, h.reshape(m, b // m, nt, c))
+        h = out.reshape(b, nt, c)
         h = norm.apply({"params": rest["norm"]}, h)
         logits = head.apply({"params": rest["head"]}, h[:, 0])
+        if distilled:
+            logits_dist = head.apply({"params": rest["head_dist"]}, h[:, 1])
+            return ((logits + logits_dist) / 2).astype(jnp.float32)
         return logits.astype(jnp.float32)
 
     def forward(params, x):

@@ -80,6 +80,25 @@ def test_pp_forward_matches_on_dp_pipe_mesh():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_pp_forward_plain_deit_distilled():
+    """Plain DeiT (ViTBlock) with the distilled two-token layout pipelines
+    through the same schedule; eval output is the (head+head_dist)/2
+    average (models/deit.py:189-201)."""
+    from mrla_tpu.models.deit import VisionTransformer
+
+    model = VisionTransformer(
+        patch_size=16, num_classes=11, embed_dim=32, depth=8, num_heads=2,
+        distilled=True,
+    )
+    params, x = _init(model, b=8, px=32, seed=4)
+    ref = model.apply({"params": params}, x, train=False)
+
+    mesh = make_mesh(axes=("pipe",), shape=(4,), devices=jax.devices()[:4])
+    forward, _ = make_pipelined_vit(model, mesh, num_microbatches=4)
+    got = jax.jit(forward)(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def _ce(logits, labels):
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
