@@ -24,7 +24,7 @@ Layouts:
     differentiable, so `forward(params, x)` accepts ordinary model params
     and grads land back in the per-block layout (used by the equivalence
     tests and the dryrun).
-  * For production residency, `pipeline_shardings(mesh)` places the stacked
+  * For production residency, `pipeline_shardings(mesh, stacked)` places the stacked
     tree with `P('pipe')` so each device stores only its own stage's params
     and optimizer state; `forward_from_stacked` consumes that layout
     directly inside the train step.
@@ -147,24 +147,41 @@ def make_pipelined_vit(
     """Pipeline-parallel forward for a ViTMRLA('light') or plain DeiT model.
 
     Returns (forward, forward_from_stacked):
-      forward(params, x)                -> logits   (stacks inside; grads in
+      forward(params, x, train=False)   -> logits   (stacks inside; grads in
                                                      the per-block layout)
-      forward_from_stacked(stacked, rest, x) -> logits  (production layout:
+      forward_from_stacked(stacked, rest, x, train=False) -> logits
+                                                    (production layout:
                                                      stacked tree sharded
                                                      P('pipe') end to end)
+    For distilled models train=True returns (logits, logits_dist).
 
     Topology parity: identical math to the container's __call__ at drop
     rates 0 (models/deit_mrla.py:143-190, models/deit.py:146-201) — patch
     embed + cls/dist/pos outside the pipeline (tiny, replicated), the
     `depth` blocks pipelined, final norm/head(s) outside.  The cls token
     rides inside the token axis, so the reference's cls-bypass quirk
-    (deit_mrla_light.py:199-207) is preserved by the block module itself;
-    distilled models return the eval-mode (head + head_dist)/2 average
-    (models.py head semantics).
+    (deit_mrla_light.py:199-207) is preserved by the block module itself.
+
+    Distilled models: pass ``train=True`` to the returned forwards to get
+    the separate ``(logits, logits_dist)`` pair (the reference's
+    distillation objective, models.py train-mode head semantics); the
+    default returns the eval-mode (head + head_dist)/2 average.
+
+    The pipelined graph is DETERMINISTIC: dropout/stochastic-depth are not
+    threaded through the schedule, so models configured with nonzero drop
+    rates are rejected here rather than silently trained without them.
     """
     from mrla_tpu.models.deit import PatchEmbed, ViTBlock, VisionTransformer
     from mrla_tpu.models.deit_mrla import MRLAViTBlock, ViTMRLA
 
+    for attr in ("drop_rate", "attn_drop_rate", "drop_path_rate"):
+        rate = getattr(model, attr)
+        assert rate == 0.0, (
+            f"pipelined forward is deterministic but model.{attr}={rate}; "
+            "stochastic depth/dropout are not threaded through the GPipe "
+            "schedule — construct the model with drop rates 0 to pipeline "
+            "it (see module docstring)"
+        )
     if isinstance(model, ViTMRLA):
         assert model.variant == "light", (
             "mrlab's growing K/V cache crosses stage boundaries with "
@@ -220,7 +237,7 @@ def make_pipelined_vit(
         check_vma=False,
     )
 
-    def forward_from_stacked(stacked, rest, x):
+    def forward_from_stacked(stacked, rest, x, train=False):
         b = x.shape[0]
         assert b % m == 0, f"batch {b} % microbatches {m} != 0"
         c = model.embed_dim
@@ -240,11 +257,18 @@ def make_pipelined_vit(
         logits = head.apply({"params": rest["head"]}, h[:, 0])
         if distilled:
             logits_dist = head.apply({"params": rest["head_dist"]}, h[:, 1])
+            if train:
+                # reference train-mode head semantics (models.py): the
+                # distillation objective needs the separate pair
+                return (
+                    logits.astype(jnp.float32),
+                    logits_dist.astype(jnp.float32),
+                )
             return ((logits + logits_dist) / 2).astype(jnp.float32)
         return logits.astype(jnp.float32)
 
-    def forward(params, x):
+    def forward(params, x, train=False):
         stacked, rest = stack_block_params(params, depth)
-        return forward_from_stacked(stacked, rest, x)
+        return forward_from_stacked(stacked, rest, x, train)
 
     return forward, forward_from_stacked

@@ -98,6 +98,26 @@ def test_pp_forward_plain_deit_distilled():
     got = jax.jit(forward)(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
+    # train=True: the separate (cls, dist) pair the distillation objective
+    # needs (models/deit.py:199 train-mode head semantics)
+    ref_cls, ref_dist = model.apply({"params": params}, x, train=True)
+    got_cls, got_dist = jax.jit(lambda p, x: forward(p, x, True))(params, x)
+    np.testing.assert_allclose(np.asarray(got_cls), np.asarray(ref_cls), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_dist), np.asarray(ref_dist), atol=2e-5)
+
+
+def test_pp_rejects_nonzero_drop_rates():
+    """A model configured with stochastic depth must be refused (the
+    pipelined graph is deterministic — silent drop-less training was the
+    round-3 advisor finding)."""
+    model = ViTMRLA(
+        patch_size=16, num_classes=13, embed_dim=32, depth=8, num_heads=2,
+        dim_mrla=16, variant="light", drop_path_rate=0.1,
+    )
+    mesh = make_mesh(axes=("pipe",), shape=(4,), devices=jax.devices()[:4])
+    with pytest.raises(AssertionError, match="drop_path_rate"):
+        make_pipelined_vit(model, mesh, num_microbatches=4)
+
 
 def _ce(logits, labels):
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
