@@ -133,22 +133,59 @@ class CocoDetection:
         self.cat2label = {cid: i for i, cid in enumerate(cat_ids)}
         self.num_classes = len(cat_ids)
         anns_by_img: Dict[int, List[dict]] = {}
+        crowd_by_img: Dict[int, List[dict]] = {}
         for a in coco.get("annotations", []):
-            if a.get("iscrowd", 0):
-                continue
             x, y, w, h = a["bbox"]  # COCO xywh
             if w <= 0 or h <= 0:
                 continue
+            if a.get("iscrowd", 0):
+                # kept for EVAL (COCOeval ignore regions); excluded from
+                # training targets (mmdet routes them to
+                # gt_bboxes_ignore — a training-assigner refinement our
+                # MaxIoU assigner does not consume, documented gap)
+                crowd_by_img.setdefault(a["image_id"], []).append(a)
+                continue
             anns_by_img.setdefault(a["image_id"], []).append(a)
-        self.items: List[Tuple[dict, List[dict]]] = []
+        self.items: List[Tuple[dict, List[dict], List[dict]]] = []
         for img in coco["images"]:
             anns = anns_by_img.get(img["id"], [])
             if filter_empty and not anns:
                 continue
-            self.items.append((img, anns))
+            self.items.append(
+                (img, anns, crowd_by_img.get(img["id"], []))
+            )
 
     def __len__(self) -> int:
         return len(self.items)
+
+    def load_eval_extras(self, i: int) -> Dict[str, np.ndarray]:
+        """Per-image COCOeval inputs in ORIGINAL image coordinates:
+        ``areas`` [N] (the json annotation ``area`` — the segmentation
+        area — falling back to box area), plus the crowd ignore regions
+        ``crowd_boxes`` [Nc, 4] xyxy / ``crowd_labels`` [Nc] /
+        ``crowd_areas`` [Nc]."""
+        _, anns, crowd = self.items[i]
+
+        def area(a):
+            x, y, w, h = a["bbox"]
+            return float(a.get("area", w * h))
+
+        cboxes = [
+            [a["bbox"][0], a["bbox"][1],
+             a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
+            for a in crowd
+        ]
+        return {
+            "areas": np.asarray([area(a) for a in anns], np.float32),
+            "crowd_boxes": np.asarray(cboxes, np.float32).reshape(-1, 4),
+            "crowd_labels": np.asarray(
+                [self.cat2label[a["category_id"]] for a in crowd],
+                np.int32,
+            ),
+            "crowd_areas": np.asarray(
+                [area(a) for a in crowd], np.float32
+            ),
+        }
 
     def load(self, i: int, with_masks: bool = False):
         """-> (image uint8 [H, W, 3], boxes [N, 4] xyxy, labels [N]
@@ -157,7 +194,7 @@ class CocoDetection:
         mmdet would error instead)."""
         from PIL import Image
 
-        info, anns = self.items[i]
+        info, anns, _ = self.items[i]
         img = Image.open(
             os.path.join(self.img_dir, info["file_name"])
         ).convert("RGB")
@@ -255,12 +292,21 @@ def coco_batches(
     seed: int = 0,
     indices: Optional[Sequence[int]] = None,
     with_masks: bool = False,
+    with_eval_extras: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Fixed-shape batches: images [B, H, W, 3] normalized float32,
     gt_boxes [B, max_gt, 4], gt_labels [B, max_gt], gt_valid [B, max_gt]
     (+ gt_masks [B, max_gt, H, W] bool with ``with_masks``).  The final
     ragged batch pads by repeating row 0 with ``sample_valid`` false
-    (mirrors the classification eval contract)."""
+    (mirrors the classification eval contract).
+
+    ``with_eval_extras`` (eval only — crowd regions must NOT reach the
+    training assigner) adds the host-side COCOeval inputs: ``scale``
+    [B] (letterbox factor, divide canvas boxes by it to get original
+    coordinates), ``gt_areas`` [B, max_gt] (json ``area``, original
+    scale), and the crowd ignore regions ``crowd_boxes`` [B, Nc, 4]
+    (original coords) / ``crowd_labels`` / ``crowd_areas`` /
+    ``crowd_valid`` padded to the batch max."""
     rng = np.random.RandomState(seed)
     idx = np.asarray(indices if indices is not None else np.arange(len(ds)))
     if shuffle:
@@ -268,9 +314,17 @@ def coco_batches(
     for start in range(0, len(idx), batch_size):
         chunk = idx[start : start + batch_size]
         imgs, bxs, lbs, valid, svalid, mks = [], [], [], [], [], []
+        extras: List[Dict[str, np.ndarray]] = []
+        scales: List[float] = []
         for i in chunk:
             loaded = ds.load(int(i), with_masks=with_masks)
             img, boxes, labels = loaded[:3]
+            if with_eval_extras:
+                extras.append(ds.load_eval_extras(int(i)))
+                scales.append(
+                    min(canvas_hw[0] / img.shape[0],
+                        canvas_hw[1] / img.shape[1])
+                )
             img, boxes, (nh, nw) = letterbox(img, boxes, canvas_hw)
             flip = augment and rng.rand() < 0.5
             if flip:
@@ -302,6 +356,9 @@ def coco_batches(
             svalid.append(False)
             if with_masks:
                 mks.append(mks[0])
+            if with_eval_extras:
+                extras.append(extras[0])
+                scales.append(scales[0])
         batch = {
             "image": np.stack(imgs),
             "gt_boxes": np.stack(bxs),
@@ -311,4 +368,27 @@ def coco_batches(
         }
         if with_masks:
             batch["gt_masks"] = np.stack(mks)
+        if with_eval_extras:
+            areas = np.zeros((batch_size, max_gt), np.float32)
+            for bi, e in enumerate(extras):
+                n = min(len(e["areas"]), max_gt)
+                areas[bi, :n] = e["areas"][:n]
+            ncrowd = max((len(e["crowd_areas"]) for e in extras),
+                         default=0)
+            cb = np.zeros((batch_size, ncrowd, 4), np.float32)
+            cl = np.zeros((batch_size, ncrowd), np.int32)
+            ca = np.zeros((batch_size, ncrowd), np.float32)
+            cv = np.zeros((batch_size, ncrowd), bool)
+            for bi, e in enumerate(extras):
+                n = len(e["crowd_areas"])
+                cb[bi, :n] = e["crowd_boxes"]
+                cl[bi, :n] = e["crowd_labels"]
+                ca[bi, :n] = e["crowd_areas"]
+                cv[bi, :n] = True
+            batch.update(
+                scale=np.asarray(scales, np.float32),
+                gt_areas=areas,
+                crowd_boxes=cb, crowd_labels=cl,
+                crowd_areas=ca, crowd_valid=cv,
+            )
         yield batch

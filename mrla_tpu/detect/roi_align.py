@@ -16,12 +16,20 @@ and mmdet's ``map_roi_levels``:
   * each output bin averages a grid of bilinear samples; points outside
     [−1, H] contribute zero, in-range points clamp to the border.
 
-TPU deviations (static shapes, documented):
+Sampling grids (static shapes, both forms supported):
 
-  * ``sampling_ratio=0`` upstream means a PER-ROI adaptive grid
-    (``ceil(bin_size)`` samples) — data-dependent shapes.  Here the grid
-    is a static ``sampling_ratio`` (default 2; with the FPN level mapping
-    bins are 2–4 cells, so 2 is within the adaptive range).
+  * ``sampling_ratio=0`` — the reference presets' setting — means a
+    PER-ROI adaptive grid of ``ceil(bin_size)`` samples per bin axis
+    (mmcv ``roi_align`` kernel semantics).  Data-dependent sample counts
+    are expressed fixed-shape by padding every bin to ``max_grid``
+    sample slots and folding a per-roi ``(i < g)/g`` weight into the
+    bilinear weights — rois whose adaptive grid fits ``max_grid`` (all
+    of them, for aspect ratios ≤3 on COCO canvases; see
+    :func:`default_max_grid`) are EXACT vs the mmcv kernel; wider grids
+    clamp to a uniform ``max_grid``-point rule (coarser, still unbiased).
+  * ``sampling_ratio=k>0`` is the static k×k grid (torchvision
+    semantics) — the fast serving knob (the gather stage is
+    row-count-bound, so cost scales with grid²).
   * all pyramid levels are flattened into ONE [ΣHW, C] array so every
     roi's gather is a single take along one axis regardless of its level
     — no per-level branching, no 4× duplicate compute.
@@ -48,18 +56,48 @@ def map_roi_levels(
     return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
 
 
-def _sample_coords(start, end, out_size: int, sr: int):
-    """Aligned sample-point coordinates along one axis:
-    [..., out_size*sr] for any leading shape of start/end."""
+def default_max_grid(
+    feats_hw: Sequence[Sequence[int]], out_size: int
+) -> int:
+    """Static per-axis sample-slot count that makes the adaptive
+    (``sampling_ratio=0``) grid exact for every roi the FPN level
+    mapping can realistically produce.
+
+    Two regimes bound ``ceil(roi_side / stride_l / out_size)``:
+
+      * unclamped levels: ``sqrt(area) < 2·finest_scale·2^l`` there, so a
+        roi of aspect ratio ≤3 has ``side < 2·56·√3·2^l`` and bin size
+        ``< 2·56·√3 / (4·out_size)`` ≈ 6.93 → 7 slots;
+      * the clamped top level: ``side ≤ canvas``, i.e. at most
+        ``ceil(max(H_top, W_top) / out_size)`` slots (6 for 800×1344).
+    """
+    h_top, w_top = feats_hw[-1][0], feats_hw[-1][1]
+    return max(7, int(np.ceil(max(h_top, w_top) / out_size)))
+
+
+def _grid_coords(start, end, out_size: int, g, smax: int):
+    """Sample coordinates + averaging weights along one axis.
+
+    ``start``/``end`` [...] roi edges in feature cells, ``g`` [...]
+    int32 samples per bin (adaptive or constant), ``smax`` static slot
+    count ≥ max(g).  Returns ``(coords, weights)`` both
+    [..., out_size, smax]: slot (ph, i) sits at
+    ``start + (ph + (i+0.5)/g)·bin`` with weight ``(i < g)/g`` — the bin
+    average is folded into the bilinear weights so padded slots
+    contribute exactly nothing.
+    """
     bin_size = (end - start) / out_size  # [...]
-    # point (ph, i): start + (ph + (i + .5)/sr) * bin
+    i = jnp.arange(smax, dtype=start.dtype)
+    gf = g.astype(start.dtype)[..., None]  # [..., 1]
+    inner = (i + 0.5) / gf  # [..., smax]
     frac = (
-        jnp.arange(out_size)[:, None] + (jnp.arange(sr)[None, :] + 0.5) / sr
-    ).reshape(-1)  # [out_size*sr]
-    return start[..., None] + frac * bin_size[..., None]
-
-
-_sample_coords_nd = _sample_coords
+        jnp.arange(out_size, dtype=start.dtype)[:, None]
+        + inner[..., None, :]
+    )  # [..., out_size, smax]
+    coords = start[..., None, None] + frac * bin_size[..., None, None]
+    w = jnp.where(i < gf, 1.0 / gf, 0.0)
+    w = jnp.broadcast_to(w[..., None, :], frac.shape)
+    return coords, w
 
 
 def _axis_weights(t: jax.Array, size: jax.Array):
@@ -82,10 +120,18 @@ def batched_roi_align(
     out_size: int = 7,
     sampling_ratio: int = 2,
     finest_scale: float = 56.0,
+    max_grid: Optional[int] = None,
 ) -> jax.Array:
     """feats per-level [B, H_l, W_l, C]; rois [B, P, 4] xyxy in image
     coordinates; roi_valid [B, P] -> [B, P, out, out, C] with invalid
     rows zeroed.
+
+    ``sampling_ratio=0`` selects the mmcv adaptive grid (see module
+    docstring); ``max_grid`` overrides the static slot count (default
+    :func:`default_max_grid`).  Known deviation: a degenerate roi
+    (zero/negative extent) pools its collapsed sample point instead of
+    mmcv's 0 output — padded rows are zeroed via ``roi_valid``, so this
+    only affects callers feeding genuinely empty boxes unmasked.
 
     Gather layout (measured on v5e, 8x1000 rois at COCO sizes —
     scripts/exp_roialign.py): ALL levels and ALL batch entries flatten
@@ -128,18 +174,34 @@ def batched_roi_align(
     x2 = rois[..., 2] * scale - 0.5
     y2 = rois[..., 3] * scale - 0.5
 
-    sr = sampling_ratio
-    ys = _sample_coords_nd(y1, y2, out_size, sr)  # [B, P, S]
-    xs = _sample_coords_nd(x1, x2, out_size, sr)
-    y_lo, y_hi, wy_lo, wy_hi, y_ok = _axis_weights(ys, h_l[..., None])
-    x_lo, x_hi, wx_lo, wx_hi, x_ok = _axis_weights(xs, w_l[..., None])
-    wy_lo = jnp.where(y_ok, wy_lo, 0.0)
-    wy_hi = jnp.where(y_ok, wy_hi, 0.0)
-    wx_lo = jnp.where(x_ok, wx_lo, 0.0)
-    wx_hi = jnp.where(x_ok, wx_hi, 0.0)
+    if sampling_ratio > 0:
+        smax = sampling_ratio
+        gy = gx = jnp.full(rois.shape[:-1], smax, jnp.int32)
+    else:  # adaptive: g = ceil(bin size in feature cells), per roi/axis
+        smax = (
+            int(max_grid)
+            if max_grid is not None
+            else default_max_grid([f.shape[1:3] for f in feats], out_size)
+        )
+        gy = jnp.clip(
+            jnp.ceil((y2 - y1) / out_size), 1, smax
+        ).astype(jnp.int32)
+        gx = jnp.clip(
+            jnp.ceil((x2 - x1) / out_size), 1, smax
+        ).astype(jnp.int32)
+    ys, wy = _grid_coords(y1, y2, out_size, gy, smax)  # [B, P, s, smax]
+    xs, wx = _grid_coords(x1, x2, out_size, gx, smax)
+    y_lo, y_hi, wy_lo, wy_hi, y_ok = _axis_weights(ys, h_l[..., None, None])
+    x_lo, x_hi, wx_lo, wx_hi, x_ok = _axis_weights(xs, w_l[..., None, None])
+    wy_lo = jnp.where(y_ok, wy_lo, 0.0) * wy
+    wy_hi = jnp.where(y_ok, wy_hi, 0.0) * wy
+    wx_lo = jnp.where(x_ok, wx_lo, 0.0) * wx
+    wx_hi = jnp.where(x_ok, wx_hi, 0.0) * wx
+    p = rois.shape[1]
+    s = out_size
 
-    def corner(yi, xi, wy, wx):
-        # flat index [B, P, S, S]; one take -> [B, P, S, S, C]
+    def corner(yi, xi, wgt_y, wgt_x):
+        # flat index [B, P, Sy, Sx]; one take -> [B, P, Sy, Sx, C]
         idx = (
             off[..., None, None]
             + yi[..., :, None] * w_l[..., None, None]
@@ -148,17 +210,47 @@ def batched_roi_align(
         vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
             idx.shape + (c,)
         )
-        return vals * (wy[..., :, None] * wx[..., None, :])[..., None]
+        return vals * (wgt_y[..., :, None] * wgt_x[..., None, :])[..., None]
 
-    acc = (
-        corner(y_lo, x_lo, wy_lo, wx_lo)
-        + corner(y_lo, x_hi, wy_lo, wx_hi)
-        + corner(y_hi, x_lo, wy_hi, wx_lo)
-        + corner(y_hi, x_hi, wy_hi, wx_hi)
-    )  # [B, P, S, S, C]
-    p = rois.shape[1]
-    s = out_size
-    acc = acc.reshape(b, p, s, sr, s, sr, c).mean(axis=(3, 5))
+    def corners(yl, yh, xl, xh, wyl, wyh, wxl, wxh):
+        return (
+            corner(yl, xl, wyl, wxl)
+            + corner(yl, xh, wyl, wxh)
+            + corner(yh, xl, wyh, wxl)
+            + corner(yh, xh, wyh, wxh)
+        )
+
+    if sampling_ratio > 0:
+        # fold the slot axis into the bin axis and gather every corner at
+        # once (fast; peak memory ∝ smax², fine for the static 1-2 grids)
+        args = [
+            a.reshape(b, p, s * smax)
+            for a in (y_lo, y_hi, x_lo, x_hi, wy_lo, wy_hi, wx_lo, wx_hi)
+        ]
+        acc = corners(*args)  # [B, P, S, S, C]
+        # bin average: the 1/g factors are already folded into the weights
+        acc = acc.reshape(b, p, s, smax, s, smax, c).sum(axis=(3, 5))
+    else:
+        # adaptive: scan over the smax² sample-slot pairs so peak memory
+        # stays [B, P, s, s, C] regardless of max_grid — the vectorized
+        # form would materialize [B, P, (s·smax)², C] ≈ 20 GB at the COCO
+        # working point (8×1000 rois, smax 7)
+        def body(acc, sj):
+            i, j = sj // smax, sj % smax
+            take_i = lambda a: jax.lax.dynamic_index_in_dim(
+                a, i, axis=-1, keepdims=False
+            )
+            take_j = lambda a: jax.lax.dynamic_index_in_dim(
+                a, j, axis=-1, keepdims=False
+            )
+            step = corners(
+                take_i(y_lo), take_i(y_hi), take_j(x_lo), take_j(x_hi),
+                take_i(wy_lo), take_i(wy_hi), take_j(wx_lo), take_j(wx_hi),
+            )
+            return acc + step, None
+
+        acc0 = jnp.zeros((b, p, s, s, c), flat.dtype)
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(smax * smax))
     if roi_valid is not None:
         acc = acc * roi_valid[..., None, None, None].astype(acc.dtype)
     return acc
@@ -171,11 +263,12 @@ def roi_align_multilevel(
     out_size: int = 7,
     sampling_ratio: int = 2,
     finest_scale: float = 56.0,
+    max_grid: Optional[int] = None,
 ) -> jax.Array:
     """Single-image form: feats per-level [H_l, W_l, C], rois [P, 4]
     -> [P, out, out, C].  Thin wrapper over :func:`batched_roi_align`."""
     out = batched_roi_align(
         [f[None] for f in feats], rois[None], None,
-        strides, out_size, sampling_ratio, finest_scale,
+        strides, out_size, sampling_ratio, finest_scale, max_grid,
     )
     return out[0]

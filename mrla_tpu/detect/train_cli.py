@@ -76,6 +76,10 @@ def parse_args(argv=None):
     p.add_argument("--rcnn-samples", type=int, default=512)
     p.add_argument("--pretrained-backbone", default=None,
                    help="orbax classification run dir (init_cfg Pretrained)")
+    p.add_argument("--torch", default=None,
+                   help="full mmdet detector .pth checkpoint to convert "
+                        "and load (the published real weights; pair with "
+                        "--eval-only for the runbook mAP check)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks in backward "
@@ -96,6 +100,12 @@ def parse_args(argv=None):
     p.add_argument("--eval-steps", type=int, default=8,
                    help="synthetic val batches per eval")
     p.add_argument("--score-thr", type=float, default=0.05)
+    p.add_argument(
+        "--roi-sampling-ratio", type=int, default=2,
+        help="two-stage RoIAlign grid: 0 = the reference presets' exact "
+        "adaptive ceil-grid (mmcv sampling_ratio=0 — ~8x slower, the "
+        "parity setting), k>0 = static kxk (2 default, 1 fastest)",
+    )
     return p.parse_args(argv)
 
 
@@ -113,7 +123,8 @@ def build_model(args):
     return (
         cls(layers=layers, num_classes=args.num_classes,
             num_proposals=args.rpn_proposals, dtype=dtype,
-            remat=args.remat),
+            remat=args.remat,
+            roi_sampling_ratio=args.roi_sampling_ratio),
         "two_stage",
     )
 
@@ -196,6 +207,7 @@ def data_iter(args, train: bool, epoch: int):
         ds, args.batch_size, canvas_hw=canvas, max_gt=args.max_gt,
         shuffle=train, augment=train, seed=args.seed + epoch,
         with_masks="mask" in args.preset,
+        with_eval_extras=not train,
     )
 
 
@@ -241,6 +253,28 @@ def main(argv=None):
         params = loaded["params"]
         batch_stats = loaded["batch_stats"]
         print(f"loaded backbone from {args.pretrained_backbone}")
+
+    if args.torch:
+        # docs/RUNBOOK.md: published-checkpoint -> native mAP in one
+        # command (torch .pth -> converted tree dropped into apply)
+        import torch as _torch
+
+        sd = _torch.load(args.torch, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        if kind == "two_stage":
+            from mrla_tpu.ckpt.detect_convert import convert_mmdet_two_stage
+
+            tree = convert_mmdet_two_stage(sd)
+        else:
+            from mrla_tpu.ckpt import convert_mmdet_state_dict
+
+            tree = convert_mmdet_state_dict(
+                sd, num_laterals=4 - PRESETS[args.preset].start_level
+            )
+        params = tree["params"]
+        batch_stats = tree.get("batch_stats", batch_stats)
+        print(f"loaded detector weights from {args.torch}")
 
     if args.data == "coco" and args.train_ann:
         # milestone epochs (8/11) must convert to steps using the REAL
@@ -403,6 +437,7 @@ def evaluate(args, model, kind, params, batch_stats, epoch) -> Dict[str, Any]:
 
     variables = {"params": params, "batch_stats": batch_stats}
     preds, gts = [], []
+    preds_m, gts_m = [], []
     with_masks = False
     for batch in data_iter(args, train=False, epoch=epoch):
         x = jnp.asarray(batch["image"])
@@ -432,35 +467,75 @@ def evaluate(args, model, kind, params, batch_stats, epoch) -> Dict[str, Any]:
             if not bool(batch["sample_valid"][b]):
                 continue
             m = valid[b]
+            # bbox protocol runs in ORIGINAL image coordinates (mmdet
+            # rescales detections back before COCOeval); crowd regions
+            # and json areas ride along when the loader provides them
+            sc = float(batch["scale"][b]) if "scale" in batch else 1.0
             pred = {
-                "boxes": boxes[b][m], "scores": scores[b][m],
+                "boxes": boxes[b][m] / sc, "scores": scores[b][m],
                 "labels": labels[b][m],
             }
             gv = np.asarray(batch["gt_valid"][b])
             gt = {
-                "boxes": np.asarray(batch["gt_boxes"][b])[gv],
+                "boxes": np.asarray(batch["gt_boxes"][b])[gv] / sc,
                 "labels": np.asarray(batch["gt_labels"][b])[gv],
             }
+            if "gt_areas" in batch:
+                gt["areas"] = np.asarray(batch["gt_areas"][b])[gv]
+            if "crowd_valid" in batch and batch["crowd_valid"].shape[1]:
+                cv = np.asarray(batch["crowd_valid"][b])
+                gt["iscrowd"] = np.concatenate(
+                    [np.zeros(int(gv.sum()), bool), cv[cv]]
+                )
+                gt["boxes"] = np.concatenate(
+                    [gt["boxes"],
+                     np.asarray(batch["crowd_boxes"][b])[cv]]
+                )
+                gt["labels"] = np.concatenate(
+                    [gt["labels"],
+                     np.asarray(batch["crowd_labels"][b])[cv]]
+                )
+                if "areas" in gt:
+                    gt["areas"] = np.concatenate(
+                        [gt["areas"],
+                         np.asarray(batch["crowd_areas"][b])[cv]]
+                    )
+            preds.append(pred)
+            gts.append(gt)
             if soft_masks is not None and "gt_masks" in batch:
                 from mrla_tpu.detect.coco_eval import paste_masks
 
+                # segm protocol stays in CANVAS space (masks are pasted
+                # there) and scores only the non-crowd instances — crowd
+                # RLEs are not rasterized (scope note vs pycocotools)
                 with_masks = True
-                pred["masks"] = paste_masks(
-                    np.asarray(soft_masks[b])[m], pred["boxes"],
-                    (x.shape[1], x.shape[2]),
-                )
-                gt["masks"] = (
-                    np.asarray(batch["gt_masks"][b])[gv] >= 0.5
-                )
-            preds.append(pred)
-            gts.append(gt)
+                det_boxes = boxes[b][m]
+                preds_m.append({
+                    "boxes": det_boxes, "scores": scores[b][m],
+                    "labels": labels[b][m],
+                    "masks": paste_masks(
+                        np.asarray(soft_masks[b])[m], det_boxes,
+                        (x.shape[1], x.shape[2]),
+                    ),
+                })
+                gts_m.append({
+                    "boxes": np.asarray(batch["gt_boxes"][b])[gv],
+                    "labels": np.asarray(batch["gt_labels"][b])[gv],
+                    "masks": np.asarray(batch["gt_masks"][b])[gv] >= 0.5,
+                })
     res = evaluate_detections(preds, gts, num_classes=args.num_classes)
-    out = {"mAP": res["mAP"], "AP50": res["AP50"], "AP75": res["AP75"]}
+    out = {
+        k: res[k]
+        for k in ("mAP", "AP50", "AP75", "mAP_s", "mAP_m", "mAP_l",
+                  "AR@1", "AR@10", "AR@100", "AR_s", "AR_m", "AR_l")
+    }
     if with_masks:
         segm = evaluate_detections(
-            preds, gts, num_classes=args.num_classes, iou_kind="segm"
+            preds_m, gts_m, num_classes=args.num_classes,
+            iou_kind="segm",
         )
-        out.update({"mask_mAP": segm["mAP"], "mask_AP50": segm["AP50"]})
+        out.update({"mask_mAP": segm["mAP"], "mask_AP50": segm["AP50"],
+                    "mask_AP75": segm["AP75"]})
     return out
 
 

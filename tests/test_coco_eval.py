@@ -167,3 +167,195 @@ def test_evaluate_segm_protocol():
     res4 = evaluate_detections(preds, gts, num_classes=1,
                                iou_kind="segm")
     assert res4["AP50"] == 1.0 and res4["AP@0.55"] == 0.0
+
+
+# ---------------------------------------------------------------- crowd
+
+
+def test_crowd_gt_absorbs_detection_not_fp():
+    """COCOeval iscrowd semantics: a detection inside a crowd region is
+    IGNORED (neither TP nor FP), and crowd IoU uses the DETECTION's
+    area as denominator (here normal IoU vs the crowd is only 0.04)."""
+    gts = [{
+        "boxes": np.array([[0.0, 0, 10, 10], [50.0, 50, 100, 100]]),
+        "labels": np.array([0, 0]),
+        "iscrowd": np.array([0, 1]),
+    }]
+    preds = [{
+        "boxes": np.array([[0.0, 0, 10, 10], [60.0, 60, 70, 70]]),
+        "labels": np.array([0, 0]),
+        "scores": np.array([0.9, 0.8]),
+    }]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    assert res["mAP"] == 1.0 and res["AR@100"] == 1.0
+    # control: same scenario WITHOUT the crowd flag -> the second det is
+    # a plain FP (IoU 100/2500 vs the big box) and the big box a miss
+    gts2 = [{k: v for k, v in gts[0].items() if k != "iscrowd"}]
+    res2 = evaluate_detections(preds, gts2, num_classes=1)
+    np.testing.assert_allclose(res2["AP50"], 51 / 101, rtol=1e-6)
+
+
+def test_crowd_gt_matches_many_detections():
+    """A crowd region can absorb ANY number of detections."""
+    gts = [{
+        "boxes": np.array([[0.0, 0, 10, 10], [50.0, 50, 100, 100]]),
+        "labels": np.array([0, 0]),
+        "iscrowd": np.array([0, 1]),
+    }]
+    preds = [{
+        "boxes": np.array(
+            [[0.0, 0, 10, 10], [55.0, 55, 65, 65], [80.0, 80, 95, 95]]
+        ),
+        "labels": np.array([0, 0, 0]),
+        "scores": np.array([0.9, 0.8, 0.7]),
+    }]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    assert res["mAP"] == 1.0  # both crowd hits ignored, TP precision 1
+
+
+def test_regular_match_preferred_over_better_ignored_match():
+    """pycocotools quirk pinned: once a det holds a regular-gt match it
+    stops considering ignored gts — even an ignored gt with HIGHER IoU
+    does not steal the match (gts are sorted ignore-last + break)."""
+    # det [0,0,10,10]; regular gt IoU 0.6; crowd gt containing the det
+    # entirely (crowd IoU 1.0)
+    gts = [{
+        "boxes": np.array([[0.0, 0, 10, 6.0], [0.0, 0, 20, 20]]),
+        "labels": np.array([0, 0]),
+        "iscrowd": np.array([0, 1]),
+    }]
+    preds = [{
+        "boxes": np.array([[0.0, 0, 10, 10]]),
+        "labels": np.array([0]),
+        "scores": np.array([0.9]),
+    }]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    # IoU vs regular gt = 60/100 = 0.6 -> TP for thr <= 0.6 (recall 1),
+    # unmatched-to-regular above (falls to the crowd -> ignored, so
+    # never an FP; with no kept dets AP=0 there)
+    assert res["AP@0.60"] == 1.0
+    assert res["AP@0.65"] == 0.0
+    assert res["mAP"] == 0.3  # 3 of 10 thresholds at AP 1
+
+
+# ----------------------------------------------------------- area ranges
+
+
+def test_area_range_columns():
+    """small (<32²) and large (>96²) gts, each perfectly detected:
+    every range scores 1 where it has gt and -1 where it has none."""
+    gts = [{
+        "boxes": np.array([[0.0, 0, 16, 16], [100.0, 100, 300, 300]]),
+        "labels": np.array([0, 0]),
+    }]
+    preds = [{
+        "boxes": gts[0]["boxes"].copy(),
+        "labels": np.array([0, 0]),
+        "scores": np.array([0.9, 0.8]),
+    }]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    assert res["mAP"] == 1.0
+    assert res["mAP_s"] == 1.0 and res["AR_s"] == 1.0
+    assert res["mAP_l"] == 1.0 and res["AR_l"] == 1.0
+    assert res["mAP_m"] == -1.0 and res["AR_m"] == -1.0  # no medium gt
+
+
+def test_out_of_range_fp_dropped_from_range_columns():
+    """A medium-sized FP hurts mAP (range 'all') but is DROPPED from the
+    small/large columns (unmatched + out of range -> ignored)."""
+    gts = [{
+        "boxes": np.array([[0.0, 0, 16, 16], [100.0, 100, 300, 300]]),
+        "labels": np.array([0, 0]),
+    }]
+    preds = [{
+        "boxes": np.array(
+            [[400.0, 400, 450, 450],  # medium-area FP, top score
+             [0.0, 0, 16, 16], [100.0, 100, 300, 300]]
+        ),
+        "labels": np.array([0, 0, 0]),
+        "scores": np.array([0.95, 0.9, 0.8]),
+    }]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    # all: FP first -> precision 1/2 at recall .5, 2/3 at recall 1
+    # 101-pt AP = (51*(2/3) + 50*(2/3))/101 = 2/3
+    np.testing.assert_allclose(res["mAP"], 2 / 3, rtol=1e-6)
+    assert res["mAP_s"] == 1.0 and res["mAP_l"] == 1.0
+
+
+def test_gt_areas_key_overrides_box_area():
+    """COCO's annotation `area` is the segmentation area — when passed,
+    it decides the range bucket (here a 16x16 box declared medium)."""
+    gts = [{
+        "boxes": np.array([[0.0, 0, 16, 16]]),
+        "labels": np.array([0]),
+        "areas": np.array([2000.0]),  # 32² < 2000 < 96²
+    }]
+    preds = [{
+        "boxes": gts[0]["boxes"].copy(),
+        "labels": np.array([0]),
+        "scores": np.array([0.9]),
+    }]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    assert res["mAP_m"] == 1.0
+    assert res["mAP_s"] == -1.0  # nothing left in the small bucket
+
+
+# ------------------------------------------------------------- AR@maxDet
+
+
+def test_ar_at_maxdets():
+    """3 gts, 3 exact detections: AR@1 sees only the top-scored det per
+    image (recall 1/3); AR@10 and AR@100 see all (recall 1)."""
+    gts = [{
+        "boxes": np.array(
+            [[0.0, 0, 10, 10], [50.0, 0, 60, 10], [0.0, 50, 10, 60]]
+        ),
+        "labels": np.array([0, 0, 0]),
+    }]
+    preds = [{
+        "boxes": gts[0]["boxes"].copy(),
+        "labels": np.array([0, 0, 0]),
+        "scores": np.array([0.9, 0.8, 0.7]),
+    }]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    np.testing.assert_allclose(res["AR@1"], 1 / 3, rtol=1e-6)
+    assert res["AR@10"] == 1.0 and res["AR@100"] == 1.0
+
+
+def test_twelve_stat_schema_present():
+    """The full COCOeval summary schema (the mmdet printed table) is in
+    the result dict."""
+    gts = [{"boxes": np.array([[0.0, 0, 40, 40]]),
+            "labels": np.array([0])}]
+    preds = [{"boxes": np.array([[0.0, 0, 40, 40]]),
+              "labels": np.array([0]), "scores": np.array([0.9])}]
+    res = evaluate_detections(preds, gts, num_classes=1)
+    for key in ("mAP", "AP50", "AP75", "mAP_s", "mAP_m", "mAP_l",
+                "AR@1", "AR@10", "AR@100", "AR_s", "AR_m", "AR_l"):
+        assert key in res, key
+
+
+def test_crowd_segm_protocol():
+    """Crowd semantics carry to segm: a det mask inside a crowd mask is
+    ignored via the det-area IoU denominator."""
+    h = w = 64
+    reg = np.zeros((h, w), bool)
+    reg[0:10, 0:10] = True
+    crowd = np.zeros((h, w), bool)
+    crowd[20:60, 20:60] = True
+    gts = [{
+        "boxes": np.array([[0.0, 0, 10, 10], [20.0, 20, 60, 60]]),
+        "labels": np.array([0, 0]),
+        "iscrowd": np.array([0, 1]),
+        "masks": np.stack([reg, crowd]),
+    }]
+    din = np.zeros((h, w), bool)
+    din[30:40, 30:40] = True  # inside the crowd, tiny vs its area
+    preds = [{
+        "boxes": np.array([[0.0, 0, 10, 10], [30.0, 30, 40, 40]]),
+        "labels": np.array([0, 0]),
+        "scores": np.array([0.9, 0.8]),
+        "masks": np.stack([reg.copy(), din]),
+    }]
+    res = evaluate_detections(preds, gts, num_classes=1, iou_kind="segm")
+    assert res["mAP"] == 1.0

@@ -149,3 +149,61 @@ def test_coco_batches_with_masks(tmp_path):
     ys, xs = np.where(b["gt_masks"][0, 0])
     assert abs(xs.min() - gb[0]) <= 1 and abs(ys.min() - gb[1]) <= 1
     assert not b["gt_masks"][0, 2].any()  # padded row empty
+
+
+def test_coco_batches_eval_extras_crowd_and_areas(tmp_path):
+    """with_eval_extras surfaces COCOeval inputs: letterbox scale, json
+    areas (original scale), and crowd ignore regions (original coords)
+    — which the training path still never sees."""
+    import json as _json
+
+    from PIL import Image
+
+    from mrla_tpu.data.coco import CocoDetection, coco_batches
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    size = 64
+    Image.fromarray(np.zeros((size, size, 3), np.uint8)).save(
+        img_dir / "a.png"
+    )
+    ann = {
+        "images": [{"id": 0, "file_name": "a.png",
+                    "width": size, "height": size}],
+        "annotations": [
+            {"id": 1, "image_id": 0, "category_id": 1,
+             "bbox": [8.0, 8, 16, 16], "area": 200.0, "iscrowd": 0},
+            {"id": 2, "image_id": 0, "category_id": 1,
+             "bbox": [30.0, 30, 20, 20], "area": 350.0, "iscrowd": 1},
+        ],
+        "categories": [{"id": 1, "name": "a"}],
+    }
+    f = tmp_path / "ann.json"
+    f.write_text(_json.dumps(ann))
+    ds = CocoDetection(str(f), str(img_dir))
+    # crowd ann is not a training target
+    _, boxes, labels = ds.load(0)
+    assert len(boxes) == 1
+
+    (b,) = list(coco_batches(ds, 1, canvas_hw=(32, 32), max_gt=3,
+                             shuffle=False, augment=False,
+                             with_eval_extras=True))
+    np.testing.assert_allclose(b["scale"], [0.5])
+    # areas stay ORIGINAL scale (the json field, not box area)
+    np.testing.assert_allclose(b["gt_areas"][0, 0], 200.0)
+    assert b["gt_areas"][0, 1] == 0.0  # padded row
+    # crowd region in ORIGINAL coords with its json area
+    assert b["crowd_valid"].shape == (1, 1)
+    assert b["crowd_valid"][0, 0]
+    np.testing.assert_allclose(b["crowd_boxes"][0, 0], [30, 30, 50, 50])
+    np.testing.assert_allclose(b["crowd_areas"][0, 0], 350.0)
+    assert b["crowd_labels"][0, 0] == 0
+    # gt boxes themselves are canvas-scaled (divide by scale to undo)
+    np.testing.assert_allclose(
+        b["gt_boxes"][0, 0] / b["scale"][0], [8, 8, 24, 24]
+    )
+    # without the flag, none of the eval keys appear
+    (b2,) = list(coco_batches(ds, 1, canvas_hw=(32, 32), max_gt=3,
+                              shuffle=False, augment=False))
+    for k in ("scale", "gt_areas", "crowd_boxes", "crowd_valid"):
+        assert k not in b2

@@ -93,6 +93,132 @@ def test_roi_align_vs_sequential_oracle():
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
 
 
+def _np_roi_align_adaptive(feat, roi, stride, out_size):
+    """Sequential ADAPTIVE RoIAlign (mmcv sampling_ratio=0: the grid is
+    ceil(bin_size) samples per axis, per roi) — one roi, one level."""
+    h, w, c = feat.shape
+    x1 = roi[0] / stride - 0.5
+    y1 = roi[1] / stride - 0.5
+    x2 = roi[2] / stride - 0.5
+    y2 = roi[3] / stride - 0.5
+    bin_h = (y2 - y1) / out_size
+    bin_w = (x2 - x1) / out_size
+    gh = max(int(np.ceil(bin_h)), 1)
+    gw = max(int(np.ceil(bin_w)), 1)
+    res = np.zeros((out_size, out_size, c), np.float64)
+
+    def sample(y, x):
+        if y < -1.0 or y > h or x < -1.0 or x > w:
+            return 0.0
+        y = min(max(y, 0.0), h - 1)
+        x = min(max(x, 0.0), w - 1)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1i, x1i = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+        ly, lx = y - y0, x - x0
+        return (
+            feat[y0, x0] * (1 - ly) * (1 - lx)
+            + feat[y0, x1i] * (1 - ly) * lx
+            + feat[y1i, x0] * ly * (1 - lx)
+            + feat[y1i, x1i] * ly * lx
+        )
+
+    for ph in range(out_size):
+        for pw in range(out_size):
+            acc = 0.0
+            for iy in range(gh):
+                for ix in range(gw):
+                    y = y1 + (ph + (iy + 0.5) / gh) * bin_h
+                    x = x1 + (pw + (ix + 0.5) / gw) * bin_w
+                    acc = acc + sample(y, x)
+            res[ph, pw] = acc / (gh * gw)
+    return res
+
+
+def test_roi_align_adaptive_vs_sequential_oracle():
+    """sampling_ratio=0 (the reference presets' setting,
+    faster_rcnn_r50mrlal_fpn.py:40): per-roi ceil-grid matches the mmcv
+    algorithm exactly across bins <1 (1-sample), 2-4 (in-range), and >4
+    cells (the wide-roi regime the old static grid could not express)."""
+    rng = np.random.RandomState(1)
+    feat = rng.randn(24, 48, 3).astype(np.float32)
+    rois = np.array(
+        [
+            [10.0, 10, 22, 22],      # bins < 1 cell  -> grid 1x1
+            [8.0, 4, 100, 80],       # bins ~2.7x3.3  -> grid 3x4
+            [0.0, 0, 190, 94],       # bins ~3.4x6.8  -> grid 4x7
+            [3.3, 7.7, 21.2, 39.9],  # fractional, mixed tiny grid
+            [1.0, 2, 185.5, 30.5],   # extreme aspect: grid 2x7
+        ],
+        np.float32,
+    )
+    got = np.asarray(
+        roi_align_multilevel(
+            [jnp.asarray(feat)], jnp.asarray(rois),
+            strides=(4,), out_size=7, sampling_ratio=0,
+            finest_scale=1e9,
+        )
+    )
+    for i, roi in enumerate(rois):
+        want = _np_roi_align_adaptive(feat, roi, 4, 7)
+        np.testing.assert_allclose(
+            got[i], want, rtol=1e-4, atol=1e-5, err_msg=f"roi {i}"
+        )
+
+
+def test_roi_align_adaptive_multilevel_realistic_scales():
+    """Adaptive grid through the REAL 4-level mapping with rois drawn
+    from the scale regimes COCO produces (small/medium/large, aspect
+    1:3..3:1, plus canvas-size boxes that clamp to the top level)."""
+    rng = np.random.RandomState(7)
+    canvas_h, canvas_w = 256, 320
+    feats = [
+        rng.randn(canvas_h // s, canvas_w // s, 4).astype(np.float32)
+        for s in (4, 8, 16, 32)
+    ]
+    rois = []
+    for scale in (12.0, 40.0, 90.0, 150.0, 260.0):
+        for ar in (1 / 3, 1.0, 3.0):
+            w = scale * np.sqrt(ar)
+            h = scale / np.sqrt(ar)
+            cx = rng.uniform(0, canvas_w)
+            cy = rng.uniform(0, canvas_h)
+            rois.append([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
+    rois.append([0.0, 0.0, canvas_w, canvas_h])  # whole canvas
+    rois = np.asarray(rois, np.float32)
+    got = np.asarray(
+        roi_align_multilevel(
+            feats, jnp.asarray(rois), strides=(4, 8, 16, 32),
+            out_size=7, sampling_ratio=0,
+        )
+    )
+    strides = (4, 8, 16, 32)
+    for i, roi in enumerate(rois):
+        scale = np.sqrt((roi[2] - roi[0]) * (roi[3] - roi[1]))
+        lvl = int(np.clip(np.floor(np.log2(scale / 56.0 + 1e-6)), 0, 3))
+        want = _np_roi_align_adaptive(feats[lvl], roi, strides[lvl], 7)
+        np.testing.assert_allclose(
+            got[i], want, rtol=1e-4, atol=1e-5, err_msg=f"roi {i}"
+        )
+
+
+def test_roi_align_static_grid_unchanged_by_weight_fold():
+    """The sr>0 path now folds 1/sr into the bilinear weights; its values
+    must still match the sequential static-grid oracle."""
+    rng = np.random.RandomState(3)
+    feat = rng.randn(16, 20, 3).astype(np.float32)
+    roi = np.array([5.0, 6, 70, 58], np.float32)
+    got = np.asarray(
+        roi_align_multilevel(
+            [jnp.asarray(feat)], jnp.asarray(roi[None]),
+            strides=(4,), out_size=7, sampling_ratio=3,
+            finest_scale=1e9,
+        )
+    )[0]
+    np.testing.assert_allclose(
+        got, _np_roi_align(feat, roi, 4, 7, 3), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_roi_align_constant_map_is_constant():
     feat = jnp.full((8, 8, 2), 3.5)
     out = roi_align_multilevel(
