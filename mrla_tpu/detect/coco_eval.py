@@ -281,8 +281,11 @@ def evaluate_detections(
                 g_masks = np.asarray(gt["masks"], bool)[g_sel]
                 p_masks = np.asarray(pred["masks"], bool)[sel][order]
                 iou = _mask_iou(p_masks, g_masks, g_crowd)
-                d_area = p_masks.reshape(len(p_masks), -1).sum(1)
-                g_area_dflt = g_masks.reshape(len(g_masks), -1).sum(1)
+                # numpy rejects reshape(0, -1); empty sets sum to [0]-areas
+                d_area = (p_masks.reshape(len(p_masks), -1).sum(1)
+                          if len(p_masks) else np.zeros(0, np.int64))
+                g_area_dflt = (g_masks.reshape(len(g_masks), -1).sum(1)
+                               if len(g_masks) else np.zeros(0, np.int64))
             else:
                 iou = _iou(p_boxes, g_boxes, g_crowd)
                 d_area = (p_boxes[:, 2] - p_boxes[:, 0]) * (
