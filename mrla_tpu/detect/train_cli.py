@@ -103,8 +103,16 @@ def parse_args(argv=None):
     p.add_argument(
         "--roi-sampling-ratio", type=int, default=2,
         help="two-stage RoIAlign grid: 0 = the reference presets' exact "
-        "adaptive ceil-grid (mmcv sampling_ratio=0 — ~8x slower, the "
-        "parity setting), k>0 = static kxk (2 default, 1 fastest)",
+        "adaptive ceil-grid (mmcv sampling_ratio=0 — the parity setting; "
+        "~8x slower on the XLA backend, FREE on the pallas backend), "
+        "k>0 = static kxk (2 default)",
+    )
+    p.add_argument(
+        "--roi-backend", choices=("auto", "xla", "pallas"), default="auto",
+        help="RoIAlign implementation for --eval-only: 'pallas' = "
+        "patch-DMA kernel (TPU, +50%% e2e at sr=2, 12x at sr=0 — ROADMAP "
+        "ledger); 'auto' = pallas on TPU eval, xla otherwise.  Training "
+        "always pools through the differentiable XLA gather",
     )
     return p.parse_args(argv)
 
@@ -120,11 +128,25 @@ def build_model(args):
         return RetinaNet(layers=layers, num_classes=args.num_classes,
                          dtype=dtype, remat=args.remat), "retinanet"
     cls = MaskRCNN if "mask" in args.preset else FasterRCNN
+    backend = args.roi_backend
+    if backend == "auto":
+        # pallas has no VJP: eval-only on an accelerator qualifies
+        backend = (
+            "pallas"
+            if args.eval_only and jax.default_backend() != "cpu"
+            else "xla"
+        )
+    elif backend == "pallas" and not args.eval_only:
+        raise SystemExit(
+            "--roi-backend pallas is inference-only (no VJP); "
+            "training pools through the XLA gather"
+        )
     return (
         cls(layers=layers, num_classes=args.num_classes,
             num_proposals=args.rpn_proposals, dtype=dtype,
             remat=args.remat,
-            roi_sampling_ratio=args.roi_sampling_ratio),
+            roi_sampling_ratio=args.roi_sampling_ratio,
+            roi_backend=backend),
         "two_stage",
     )
 

@@ -41,6 +41,16 @@ from mrla_tpu.detect.bbox import delta2bbox, multiclass_nms_fixed, nms_fixed
 from mrla_tpu.detect.roi_align import batched_roi_align
 
 
+def _roi_align_fn(backend: str):
+    if backend == "pallas":
+        from mrla_tpu.kernels.roialign_patch import roi_align_patch
+
+        return roi_align_patch
+    if backend != "xla":
+        raise ValueError(f"unknown roi_backend {backend!r}")
+    return batched_roi_align
+
+
 RCNN_TARGET_STDS = (0.1, 0.1, 0.2, 0.2)
 ROI_STRIDES = (4, 8, 16, 32)
 
@@ -228,6 +238,11 @@ class FasterRCNN(nn.Module):
     # cells under the FPN level mapping); 1 is the 3x-faster serving
     # knob (the RoI stage is gather-row-bound — see detect/roi_align.py)
     roi_sampling_ratio: int = 2
+    # 'xla' = flat-take gather (batched_roi_align); 'pallas' = patch-DMA
+    # kernel (kernels/roialign_patch.py) — inference-only (no VJP), makes
+    # sampling_ratio=0 (the reference presets' adaptive grid) cost the
+    # same as static grids
+    roi_backend: str = "xla"
     dtype: Any = jnp.float32
     # backbone rematerialization for big-batch training; at the reference
     # contract (bs8 COCO) it LOSES 11% — ROADMAP detection-train ledger
@@ -274,7 +289,7 @@ class FasterRCNN(nn.Module):
     def bbox_forward(self, feats, rois: jax.Array, roi_valid: jax.Array):
         """Second stage on GIVEN rois (the training path pools only the
         sampled rois): (cls [B, R, K+1], reg [B, R, K*4])."""
-        roi_feats = batched_roi_align(
+        roi_feats = _roi_align_fn(self.roi_backend)(
             [f.astype(jnp.float32) for f in feats[:4]],
             rois,
             roi_valid,
@@ -300,7 +315,7 @@ class FasterRCNN(nn.Module):
                 nms_pre=self.rpn_nms_pre,
                 max_per_img=self.num_proposals,
             )
-        roi_feats = batched_roi_align(
+        roi_feats = _roi_align_fn(self.roi_backend)(
             [f.astype(jnp.float32) for f in feats[:4]],
             proposals,
             proposal_valid,
@@ -399,7 +414,7 @@ def two_stage_predict(
         "det_valid": det_valid,
     }
     if model.with_mask:
-        mask_feats = batched_roi_align(
+        mask_feats = _roi_align_fn(model.roi_backend)(
             [f.astype(jnp.float32) for f in out["feats"][:4]],
             det_boxes,
             det_valid,

@@ -77,6 +77,34 @@ def test_unclamped_and_degenerate_rois():
     assert float(jnp.max(jnp.abs(got[0, :4]))) == 0.0
 
 
+def test_detector_roi_backend_pallas(monkeypatch):
+    """FasterRCNN(roi_backend='pallas') routes through the patch kernel
+    (interpret mode here) and matches the XLA backend's head outputs."""
+    import functools
+
+    import mrla_tpu.kernels.roialign_patch as rp
+    from mrla_tpu.detect.two_stage import FasterRCNN, init_detector
+
+    monkeypatch.setattr(
+        rp, "roi_align_patch",
+        functools.partial(roi_align_patch, interpret=True),
+    )
+    rng = np.random.default_rng(3)
+    h, w = 64, 128
+    x = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+    kw = dict(layers=(1, 1, 1, 1), num_classes=4, rpn_nms_pre=32,
+              num_proposals=8)
+    m_ref = FasterRCNN(**kw)
+    v = init_detector(m_ref, jax.random.key(0), x)
+    ref = m_ref.apply(v, x, train=False)
+    got = FasterRCNN(roi_backend="pallas", **kw).apply(v, x, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(ref["proposals"]), np.asarray(got["proposals"]))
+    d = float(jnp.max(jnp.abs(ref["cls"] - got["cls"])))
+    s = float(jnp.max(jnp.abs(ref["cls"]))) + 1e-9
+    assert d / s < 2e-4, d / s
+
+
 def test_bf16_path():
     rng = np.random.default_rng(2)
     sizes = [(56, 56), (28, 28), (14, 14), (7, 7)]
