@@ -160,6 +160,28 @@ def prepare_inference_params(
     return out
 
 
+def attach_stage4(serving_params: Dict,
+                  layers: Sequence[int] = (3, 4, 6, 3)) -> Dict:
+    """Pack the final stage's params for the stage-resident Pallas kernel
+    (kernels/mrla_stage4.py) and attach them under ``"stage4"``.
+
+    Opt-in (pass use_stage4=True to :func:`resnet_mrlal_forward`); only
+    depths whose last stage is the canonical 3-block 7x7 geometry
+    qualify.  Returns the same dict for chaining."""
+    from mrla_tpu.kernels.mrla_stage4 import pack_stage4_params
+
+    if layers[-1] != 3:
+        raise ValueError("stage4 kernel covers 3-block final stages only")
+    blocks = serving_params["blocks"][-3:]
+    if "kd" not in blocks[0]:
+        raise ValueError("final-stage entry block has no downsample")
+    packed = pack_stage4_params(blocks, dtype=blocks[0]["k3"].dtype)
+    serving_params["stage4"] = {
+        k: v for k, v in packed.items() if k not in ("heads", "ktap")
+    }
+    return serving_params
+
+
 def _conv(x, k, b, stride=1, groups=1):
     # torch-style symmetric padding (k//2 each side).  NOT XLA "SAME": at
     # stride 2 SAME pads (0, 1) while torch pads (1, 1) — a one-pixel window
@@ -239,6 +261,7 @@ def _block(x, p, stride: int, heads: int, use_pallas: bool,
     jax.jit,
     static_argnames=(
         "layers", "dim_perhead", "use_pallas", "microbatch", "shared_stem",
+        "use_stage4",
     ),
 )
 def resnet_mrlal_forward(
@@ -249,6 +272,7 @@ def resnet_mrlal_forward(
     use_pallas: bool = False,
     microbatch: int = 32,
     shared_stem: bool = True,
+    use_stage4: bool = False,
 ) -> jax.Array:
     """[B, H, W, 3] (any float dtype; cast to the param dtype) -> logits fp32.
 
@@ -293,6 +317,7 @@ def resnet_mrlal_forward(
                             layers,
                             dim_perhead,
                             use_pallas,
+                            use_stage4,
                         )[-1],
                     )
                     for i in range(n)
@@ -307,12 +332,14 @@ def resnet_mrlal_forward(
                     layers,
                     dim_perhead,
                     use_pallas,
+                    use_stage4,
                 )
                 for i in range(n)
             ],
             axis=0,
         )
-    return _forward_impl(serving_params, x, layers, dim_perhead, use_pallas)
+    return _forward_impl(serving_params, x, layers, dim_perhead, use_pallas,
+                         use_stage4)
 
 
 def _trunk_impl(
@@ -321,11 +348,13 @@ def _trunk_impl(
     layers: Sequence[int],
     dim_perhead: int,
     use_pallas: bool,
+    use_stage4: bool = False,
 ):
     """Stem + all blocks; returns the per-stage outputs [C2, C3, C4, C5]."""
     x = x.astype(serving_params["stem"]["k"].dtype)
     y = _stem(x, serving_params["stem"])
-    return _blocks_impl(serving_params, y, layers, dim_perhead, use_pallas)
+    return _blocks_impl(serving_params, y, layers, dim_perhead, use_pallas,
+                        use_stage4)
 
 
 def _blocks_impl(
@@ -334,6 +363,7 @@ def _blocks_impl(
     layers: Sequence[int],
     dim_perhead: int,
     use_pallas: bool,
+    use_stage4: bool = False,
 ):
     """All blocks on a post-stem feature map; per-stage outputs [C2..C5]."""
     strides = []
@@ -350,9 +380,36 @@ def _blocks_impl(
             f"{tuple(layers)} implies {len(strides)} — prepare and forward "
             "were given different depths"
         )
+    s4_start = len(strides) - layers[-1]
+    run_s4 = (
+        use_stage4
+        and "stage4" in serving_params
+        and layers[-1] == 3
+        and y.shape[0] % 8 == 0
+    )
     x1_pre = None
     outs = []
     for i, (p, stride) in enumerate(zip(blocks, strides)):
+        if run_s4 and i == s4_start:
+            # stage-resident Pallas kernel: block0 conv1/conv2 stay in XLA
+            # (dense MXU convs), the kernel runs everything after in one
+            # VMEM-resident program (kernels/mrla_stage4.py)
+            from mrla_tpu.kernels.mrla_stage4 import stage4_resident
+
+            x1 = (x1_pre if x1_pre is not None
+                  else jax.nn.relu(_conv(y, p["k1"], p["b1"])))
+            ob = jax.nn.relu(_conv(x1, p["k2"], p["b2"], stride=stride))
+            assert ob.shape[1] == 7 and ob.shape[2] == 7, ob.shape
+            s4 = serving_params["stage4"]
+            b = y.shape[0]
+            y = stage4_resident(
+                ob, y[:, ::2, ::2, :], s4,
+                heads=int(s4["seg"].shape[1]),
+                ktap=int(s4["taps"].shape[1]),
+                batch_tile=16 if b % 16 == 0 else 8,
+            )
+            outs.append(y)
+            break
         heads = p["lam"].shape[0] // dim_perhead
         p_next = blocks[i + 1] if i + 1 < len(blocks) else None
         y, x1_pre = _block(y, p, stride, heads, use_pallas,
@@ -377,6 +434,8 @@ def _forward_impl(
     layers: Sequence[int],
     dim_perhead: int,
     use_pallas: bool,
+    use_stage4: bool = False,
 ) -> jax.Array:
-    y = _trunk_impl(serving_params, x, layers, dim_perhead, use_pallas)[-1]
+    y = _trunk_impl(serving_params, x, layers, dim_perhead, use_pallas,
+                    use_stage4)[-1]
     return _head_impl(serving_params, y)

@@ -8,13 +8,15 @@ downsample) at reduced channel width for CPU speed, plus the full-width
 packing round trip.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from mrla_tpu.kernels.mrla_stage4 import pack_stage4_params, stage4_resident
-from mrla_tpu.serving.resnet_mrlal import _block, _conv
+from mrla_tpu.serving.resnet_mrlal import _block, _blocks_impl, _conv, attach_stage4
 
 
 def _mk_block(rng, cin, c1, c, ktap, first):
@@ -64,4 +66,39 @@ def test_stage4_matches_serving_chain(cin, c1, c, ktap):
         interpret=True,
     )
     rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 1e-4, rel
+
+
+def test_attach_stage4_inmodel(monkeypatch):
+    """use_stage4=True routes the final stage through the Pallas kernel
+    (interpret mode here) and matches the jnp chain through the real
+    serving block loop, including the attach_stage4 packing path."""
+    import mrla_tpu.kernels.mrla_stage4 as s4mod
+    import mrla_tpu.serving.resnet_mrlal as srv
+
+    monkeypatch.setattr(
+        s4mod, "stage4_resident",
+        functools.partial(stage4_resident, interpret=True),
+    )
+    rng = np.random.default_rng(1)
+    cin, c1, c, ktap = 128, 64, 256, 3
+    layers = (2, 3)
+    # stage 1: cin->c_a at stride 1 (block0 carries the channel-change
+    # downsample), stage 2: the canonical 3-block stride-2 geometry
+    ca = 128
+    blocks = [
+        _mk_block(rng, cin, 64, ca, ktap, True),
+        _mk_block(rng, ca, 64, ca, ktap, False),
+        _mk_block(rng, ca, c1, c, ktap, True),
+        _mk_block(rng, c, c1, c, ktap, False),
+        _mk_block(rng, c, c1, c, ktap, False),
+    ]
+    sp = {"blocks": blocks}
+    attach_stage4(sp, layers)
+    y = jnp.asarray(rng.standard_normal((8, 14, 14, cin)), jnp.float32)
+    ref = _blocks_impl(sp, y, layers, 32, False)
+    got = _blocks_impl(sp, y, layers, 32, False, use_stage4=True)
+    assert len(ref) == len(got) == 2
+    r, g = ref[-1], got[-1]
+    rel = float(jnp.max(jnp.abs(r - g))) / float(jnp.max(jnp.abs(r)))
     assert rel < 1e-4, rel
