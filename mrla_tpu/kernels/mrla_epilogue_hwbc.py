@@ -194,7 +194,7 @@ def mrla_block_tail_hwbc(
         )
     col_shape = (3, h, 1, btile, ct)
     full = lambda: pl.BlockSpec(
-        (h, w, bsz, c), lambda i: (0, 0, 0, 0), memory_space=pltpu.ANY
+        (h, w, bsz, c), lambda i: (0, 0, 0, 0), memory_space=pl.ANY
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

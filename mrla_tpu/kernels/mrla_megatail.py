@@ -252,7 +252,7 @@ def mrla_block_tail_fused_next(
     it = jnp.transpose(identity, (1, 2, 0, 3))
 
     full = lambda ch: pl.BlockSpec(
-        (h, w, bsz, ch), lambda i: (0, 0, 0, 0), memory_space=pltpu.ANY
+        (h, w, bsz, ch), lambda i: (0, 0, 0, 0), memory_space=pl.ANY
     )
     vmem = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM

@@ -191,7 +191,8 @@ def _kernel(
     y_ref[...] = y.reshape(bt, HW, HW, c).astype(y_ref.dtype)
 
 
-def pack_stage4_params(blocks: Sequence[Dict], dtype=jnp.bfloat16):
+def pack_stage4_params(blocks: Sequence[Dict], dtype=jnp.bfloat16,
+                       dim_perhead: int = 32):
     """blocks: the three stage-4 entries of the serving param tree
     (serving/resnet_mrlal.py:prepare_inference_params) — [b0, b1, b2].
     Row layout of the packed [48, C] channel-param array: 3+9b..11+9b
@@ -202,7 +203,7 @@ def pack_stage4_params(blocks: Sequence[Dict], dtype=jnp.bfloat16):
     c = np.asarray(b0["k3"]).shape[-1]
     c1 = np.asarray(b0["k3"]).shape[-2]
     cin = np.asarray(b0["kd"]).shape[-2]
-    heads = c // 32
+    heads = c // dim_perhead  # reference: heads = C/dim_perhead (ADVICE r4)
 
     w = np.zeros((48, c), np.float32)
     for blk, p in enumerate((b0, b1, b2)):

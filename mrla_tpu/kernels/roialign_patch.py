@@ -180,45 +180,29 @@ def _kernel(
     out_ref[0] = (o2 * m[10]).astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "strides", "out_size", "sampling_ratio", "finest_scale",
-        "max_grid", "interpret",
-    ),
-)
-def roi_align_patch(
-    feats: Sequence[jax.Array],
+def _prep(
+    feat_shapes: Sequence[tuple],
+    strides: Sequence[int],
+    out_size: int,
+    sampling_ratio: int,
+    finest_scale: float,
+    max_grid: Optional[int],
     rois: jax.Array,
-    roi_valid: Optional[jax.Array] = None,
-    strides: Sequence[int] = (4, 8, 16, 32),
-    out_size: int = 7,
-    sampling_ratio: int = 2,
-    finest_scale: float = 56.0,
-    max_grid: Optional[int] = None,
-    interpret: bool = False,
-) -> jax.Array:
-    """Drop-in for :func:`mrla_tpu.detect.roi_align.batched_roi_align`
-    (same args/semantics) on the patch-DMA Pallas path.
-
-    Requires C % 128 == 0 (DMA lane tiling).  ``sampling_ratio=0`` is
-    the adaptive grid — here it costs the same as static grids.
-    """
+    valid: jax.Array,
+):
+    """Per-roi scalars shared by the forward and backward kernels: FPN
+    level, batch index, patch origin, and the 16-wide fp32 metadata row
+    the kernels rebuild their weight matrices from.  Pure [B, P]-sized
+    math — cheap enough that the VJP recomputes it instead of saving
+    residuals."""
     num_levels = len(strides)
     b, p = rois.shape[0], rois.shape[1]
-    c = feats[0].shape[-1]
-    assert c % 128 == 0, "patch DMA needs lane-aligned channels"
-    heights = np.array([f.shape[1] for f in feats], np.int32)
-    widths = np.array([f.shape[2] for f in feats], np.int32)
+    heights = np.array([s[0] for s in feat_shapes], np.int32)
+    widths = np.array([s[1] for s in feat_shapes], np.int32)
     # the DMA column start must be 8-aligned: zero-pad level widths to
     # multiples of 8 so an aligned-down px0 can still reach the last
     # columns (weights never touch the pad: they are masked at real W)
     widths_p = np.array([_round8(int(w)) for w in widths], np.int32)
-    feats = [
-        jnp.pad(f, ((0, 0), (0, 0), (0, int(wp - w)), (0, 0)))
-        if wp != w else f
-        for f, w, wp in zip(feats, widths, widths_p)
-    ]
     ph_buf = min(PATCH_H, int(heights.max()))
     pw_buf = min(PATCH_W, int(widths_p.max()))
 
@@ -242,7 +226,7 @@ def roi_align_patch(
         smax = (
             int(max_grid)
             if max_grid is not None
-            else default_max_grid([f.shape[1:3] for f in feats], out_size)
+            else default_max_grid(feat_shapes, out_size)
         )
         gy = jnp.clip(jnp.ceil(bin_y), 1, smax)
         gx = jnp.clip(jnp.ceil(bin_x), 1, smax)
@@ -256,13 +240,9 @@ def roi_align_patch(
     px0 = jnp.clip(jnp.floor(x1), 0.0, jnp.maximum(w_lp - pw_l, 0.0))
     px0 = jnp.floor(px0 / 8.0) * 8.0
 
-    valid = (
-        jnp.ones((b, p), jnp.float32)
-        if roi_valid is None
-        else roi_valid.astype(jnp.float32)
-    )
     meta = jnp.stack(
-        [y1, x1, bin_y, bin_x, gy, gx, h_l, w_l, py0, px0, valid,
+        [y1, x1, bin_y, bin_x, gy, gx, h_l, w_l, py0, px0,
+         valid.astype(jnp.float32),
          jnp.zeros_like(y1), jnp.zeros_like(y1), jnp.zeros_like(y1),
          jnp.zeros_like(y1), jnp.zeros_like(y1)],
         axis=-1,
@@ -272,6 +252,36 @@ def roi_align_patch(
     bidx = jnp.broadcast_to(
         jnp.arange(b, dtype=jnp.int32)[:, None], (b, p)
     ).reshape(r_total)
+    return dict(
+        lvl=lvl.reshape(r_total),
+        bidx=bidx,
+        py0=py0.astype(jnp.int32).reshape(r_total),
+        px0=px0.astype(jnp.int32).reshape(r_total),
+        meta=meta,
+        smax=smax,
+        ph_buf=ph_buf,
+        pw_buf=pw_buf,
+        heights=heights,
+        widths=widths,
+        widths_p=widths_p,
+        r_total=r_total,
+    )
+
+
+def _fwd_call(feats, rois, valid, statics):
+    (strides, out_size, sampling_ratio, finest_scale, max_grid,
+     interpret, feat_shapes) = statics
+    b, p = rois.shape[0], rois.shape[1]
+    c = feats[0].shape[-1]
+    pr = _prep(feat_shapes, strides, out_size, sampling_ratio,
+               finest_scale, max_grid, rois, valid)
+    feats = [
+        jnp.pad(f, ((0, 0), (0, 0), (0, int(wp - w)), (0, 0)))
+        if wp != w else f
+        for f, w, wp in zip(feats, pr["widths"], pr["widths_p"])
+    ]
+    ph_buf, pw_buf, smax = pr["ph_buf"], pr["pw_buf"], pr["smax"]
+    r_total = pr["r_total"]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -281,7 +291,7 @@ def roi_align_patch(
                          memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec(f.shape, lambda r, *_: (0, 0, 0, 0),
-                         memory_space=pltpu.ANY)
+                         memory_space=pl.ANY)
             for f in feats
         ],
         out_specs=pl.BlockSpec(
@@ -309,11 +319,222 @@ def roi_align_patch(
         ),
         interpret=interpret,
     )(
-        lvl.reshape(r_total),
-        bidx,
-        py0.astype(jnp.int32).reshape(r_total),
-        px0.astype(jnp.int32).reshape(r_total),
-        meta,
+        pr["lvl"],
+        pr["bidx"],
+        pr["py0"],
+        pr["px0"],
+        pr["meta"],
         *feats,
     )
     return out.reshape(b, p, out_size, out_size, c)
+
+
+def _bwd_kernel(
+    # scalar prefetch (SMEM)
+    lvl_ref, bidx_ref, py0_ref, px0_ref,
+    # blocked VMEM inputs
+    meta_ref,  # [1, 1, 16] fp32 per-roi metadata
+    g_ref,     # [1, O, O, C] incoming cotangent for this roi
+    *rest,
+    feats_hw: Sequence[tuple], out_size: int, smax: int,
+    ph_buf: int, pw_buf: int,
+):
+    """Transpose of :func:`_kernel` per roi: the patch cotangent is the
+    separable product Ayᵀ·G·Ax (two skinny fp32 matmuls), accumulated
+    into the level's gradient array by a serialized read-modify-write
+    DMA.  The grid runs rois sequentially on TPU and both DMAs complete
+    inside the body, so overlapping roi patches never lose updates (the
+    price is no double-buffering; backward is not the serving path)."""
+    num_levels = len(feats_hw)
+    # rest: aliased grad inputs (ANY) x L, grad outputs (ANY) x L,
+    # then scratch: acc VMEM + one DMA semaphore
+    gout_refs = rest[num_levels:2 * num_levels]
+    acc, sem = rest[2 * num_levels], rest[2 * num_levels + 1]
+    r = pl.program_id(0)
+    c = g_ref.shape[-1]
+
+    m = meta_ref[0, 0]
+    ay = _axis_matrix(m[0], m[2], m[4], m[8], m[6], ph_buf, out_size, smax)
+    ax = _axis_matrix(m[1], m[3], m[5], m[9], m[7], pw_buf, out_size, smax)
+    g = g_ref[0].astype(jnp.float32) * m[10]  # valid-masked, [O, O, C]
+    # t[py, ox·c] = Σ_oy ay[oy, py] · g[oy, ox, c]
+    t = jax.lax.dot_general(
+        ay, g.reshape(out_size, out_size * c),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [PH, O·C]
+    t = t.reshape(ph_buf, out_size, c).transpose(1, 0, 2)
+    gp = jax.lax.dot_general(
+        ax, t.reshape(out_size, ph_buf * c),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [PW, PH·C]
+    gp = gp.reshape(pw_buf, ph_buf, c).transpose(1, 0, 2)  # [PH, PW, C]
+
+    for l, (h_l, w_l) in enumerate(feats_hw):
+        ph, pw = min(ph_buf, h_l), min(pw_buf, w_l)
+
+        @pl.when(lvl_ref[r] == l)
+        def _(l=l, ph=ph, pw=pw):
+            dst = gout_refs[l].at[
+                bidx_ref[r],
+                pl.ds(py0_ref[r], ph),
+                pl.ds(pl.multiple_of(px0_ref[r], 8), pw),
+                :,
+            ]
+            cp_in = pltpu.make_async_copy(dst, acc.at[0:ph, 0:pw, :], sem)
+            cp_in.start()
+            cp_in.wait()
+            acc[0:ph, 0:pw, :] = acc[0:ph, 0:pw, :] + gp[0:ph, 0:pw, :]
+            cp_out = pltpu.make_async_copy(acc.at[0:ph, 0:pw, :], dst, sem)
+            cp_out.start()
+            cp_out.wait()
+
+
+def _bwd_call(g, rois, valid, statics):
+    (strides, out_size, sampling_ratio, finest_scale, max_grid,
+     interpret, feat_shapes) = statics
+    b, p = rois.shape[0], rois.shape[1]
+    c = g.shape[-1]
+    pr = _prep(feat_shapes, strides, out_size, sampling_ratio,
+               finest_scale, max_grid, rois, valid)
+    ph_buf, pw_buf, smax = pr["ph_buf"], pr["pw_buf"], pr["smax"]
+    r_total = pr["r_total"]
+    num_levels = len(feat_shapes)
+    padded_hw = [(int(h), int(wp))
+                 for h, wp in zip(pr["heights"], pr["widths_p"])]
+    # fp32 accumulators at the PADDED widths (same coordinate system the
+    # forward DMAs in); the pad columns only ever receive masked zeros
+    gz = [jnp.zeros((b, h, wp, c), jnp.float32) for h, wp in padded_hw]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(r_total,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 16), lambda r, *_: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_size, out_size, c),
+                         lambda r, *_: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(z.shape, lambda r, *_: (0, 0, 0, 0),
+                         memory_space=pl.ANY)
+            for z in gz
+        ],
+        out_specs=[
+            pl.BlockSpec(z.shape, lambda r, *_: (0, 0, 0, 0),
+                         memory_space=pl.ANY)
+            for z in gz
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ph_buf, pw_buf, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    # operand order: 4 scalar-prefetch + meta + g + the L aliased
+    # accumulators -> alias input 6+i onto output i
+    grads = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel,
+            feats_hw=tuple(padded_hw),
+            out_size=out_size, smax=smax, ph_buf=ph_buf, pw_buf=pw_buf,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(z.shape, jnp.float32) for z in gz
+        ],
+        input_output_aliases={6 + i: i for i in range(num_levels)},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        pr["lvl"],
+        pr["bidx"],
+        pr["py0"],
+        pr["px0"],
+        pr["meta"],
+        g.reshape(r_total, out_size, out_size, c),
+        *gz,
+    )
+    dtypes = [jnp.dtype(g.dtype)] * num_levels
+    return tuple(
+        gr[:, :, : int(w), :].astype(dt)
+        for gr, w, dt in zip(grads, pr["widths"], dtypes)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _patch_core(feats, rois, valid, statics):
+    return _fwd_call(feats, rois, valid, statics)
+
+
+def _patch_core_fwd(feats, rois, valid, statics):
+    # residuals are just the roi geometry: the backward rebuilds its
+    # weight matrices from scratch, so NO forward activations are saved
+    # (the VJP is rematerialization-free by construction)
+    return _fwd_call(feats, rois, valid, statics), (rois, valid)
+
+
+def _patch_core_bwd(statics, res, g):
+    rois, valid = res
+    grads = _bwd_call(g, rois, valid, statics)
+    # no gradient to roi coordinates or the valid mask — matching
+    # torchvision/mmcv RoIAlign, which differentiates w.r.t. input only
+    return (grads, jnp.zeros_like(rois), jnp.zeros_like(valid))
+
+
+_patch_core.defvjp(_patch_core_fwd, _patch_core_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "strides", "out_size", "sampling_ratio", "finest_scale",
+        "max_grid", "interpret",
+    ),
+)
+def roi_align_patch(
+    feats: Sequence[jax.Array],
+    rois: jax.Array,
+    roi_valid: Optional[jax.Array] = None,
+    strides: Sequence[int] = (4, 8, 16, 32),
+    out_size: int = 7,
+    sampling_ratio: int = 2,
+    finest_scale: float = 56.0,
+    max_grid: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in for :func:`mrla_tpu.detect.roi_align.batched_roi_align`
+    (same args/semantics) on the patch-DMA Pallas path.
+
+    Requires C % 128 == 0 (DMA lane tiling).  ``sampling_ratio=0`` is
+    the adaptive grid — here it costs the same as static grids.
+
+    Differentiable (round 5): a custom VJP scatters each roi's patch
+    cotangent Ayᵀ·G·Ax back into the feature pyramid with the same
+    patch-DMA structure (see :func:`_bwd_kernel`), so training can run
+    the reference presets' exact ``sampling_ratio=0`` grid
+    (faster_rcnn_r50mrlal_fpn.py:40) at Pallas speed.  Gradients flow
+    to ``feats`` only (not roi coordinates), matching torchvision/mmcv.
+    """
+    c = feats[0].shape[-1]
+    assert c % 128 == 0, "patch DMA needs lane-aligned channels"
+    b, p = rois.shape[0], rois.shape[1]
+    valid = (
+        jnp.ones((b, p), jnp.float32)
+        if roi_valid is None
+        else roi_valid.astype(jnp.float32)
+    )
+    statics = (
+        tuple(int(s) for s in strides),
+        int(out_size),
+        int(sampling_ratio),
+        float(finest_scale),
+        None if max_grid is None else int(max_grid),
+        bool(interpret),
+        tuple((int(f.shape[1]), int(f.shape[2])) for f in feats),
+    )
+    return _patch_core(tuple(feats), rois, valid, statics)

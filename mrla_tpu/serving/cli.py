@@ -193,6 +193,12 @@ def make_engine_forward(
 def main(argv: Optional[Sequence[str]] = None) -> dict:
     args = build_argparser().parse_args(argv)
 
+    # persist compiled executables: the microbatched serving program takes
+    # minutes to compile cold, seconds from cache (VERDICT r4 weak #5)
+    from mrla_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from mrla_tpu.data.imagefolder import ImageFolder, iterate_batches
     from mrla_tpu.data.transforms import normalize
     from mrla_tpu.models import create_model

@@ -161,7 +161,8 @@ def prepare_inference_params(
 
 
 def attach_stage4(serving_params: Dict,
-                  layers: Sequence[int] = (3, 4, 6, 3)) -> Dict:
+                  layers: Sequence[int] = (3, 4, 6, 3),
+                  dim_perhead: int = 32) -> Dict:
     """Pack the final stage's params for the stage-resident Pallas kernel
     (kernels/mrla_stage4.py) and attach them under ``"stage4"``.
 
@@ -175,7 +176,8 @@ def attach_stage4(serving_params: Dict,
     blocks = serving_params["blocks"][-3:]
     if "kd" not in blocks[0]:
         raise ValueError("final-stage entry block has no downsample")
-    packed = pack_stage4_params(blocks, dtype=blocks[0]["k3"].dtype)
+    packed = pack_stage4_params(blocks, dtype=blocks[0]["k3"].dtype,
+                                dim_perhead=dim_perhead)
     serving_params["stage4"] = {
         k: v for k, v in packed.items() if k not in ("heads", "ktap")
     }
@@ -381,11 +383,19 @@ def _blocks_impl(
             "were given different depths"
         )
     s4_start = len(strides) - layers[-1]
+    # stage-4 output spatial from the post-stem map: three stride-2 torch-pad
+    # convs, each ceil(h/2).  The kernel is built for the canonical 7x7
+    # geometry; anything else falls back to the jnp path (no assert, so
+    # non-224px inputs serve correctly with use_stage4=True — ADVICE r4).
+    s4_h, s4_w = y.shape[1], y.shape[2]
+    for _ in range(3):
+        s4_h, s4_w = -(-s4_h // 2), -(-s4_w // 2)
     run_s4 = (
         use_stage4
         and "stage4" in serving_params
         and layers[-1] == 3
         and y.shape[0] % 8 == 0
+        and (s4_h, s4_w) == (7, 7)
     )
     x1_pre = None
     outs = []
@@ -399,7 +409,6 @@ def _blocks_impl(
             x1 = (x1_pre if x1_pre is not None
                   else jax.nn.relu(_conv(y, p["k1"], p["b1"])))
             ob = jax.nn.relu(_conv(x1, p["k2"], p["b2"], stride=stride))
-            assert ob.shape[1] == 7 and ob.shape[2] == 7, ob.shape
             s4 = serving_params["stage4"]
             b = y.shape[0]
             y = stage4_resident(

@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import queue
 import threading
 import time
@@ -393,9 +394,15 @@ def build_detections_server(
     port: int = 8000,
     timeout_s: float = 120.0,
     num_proposals: int = 1000,
+    roi_backend: str = "auto",
 ):
     """Full-detector daemon: POST /predict (npy [N,H,W,3]) -> JSON
     detections (boxes/scores/labels per image, mmdet test_cfg decode).
+
+    ``roi_backend``: 'auto' (patch-DMA Pallas kernel + the presets' exact
+    sampling_ratio=0 grid on the TPU backend, XLA gather + sr=2 elsewhere
+    — the Pallas kernel is TPU-specific and will not compile on gpu),
+    'pallas', or 'xla'.
 
     `det_variables`: detect.RetinaNet tree (convert_mmdet_state_dict) for
     retinanet presets, or FasterRCNN/MaskRCNN tree
@@ -427,16 +434,18 @@ def build_detections_server(
         )
 
         cls = MaskRCNN if "mask" in preset else FasterRCNN
+        if roi_backend == "auto":
+            # patch-DMA RoIAlign: +50% e2e on TPU and the reference-exact
+            # adaptive grid (sr=0) costs the same as static (ROADMAP
+            # ledger); the kernel is TPU-Pallas-specific, so anything else
+            # (cpu AND gpu — ADVICE r4) takes the XLA gather
+            roi_backend = ("pallas" if jax.default_backend() == "tpu"
+                           else "xla")
         model = cls(
             layers=tuple(p.backbone_layers), num_classes=num_classes,
             dtype=jnp.bfloat16, num_proposals=num_proposals,
-            # patch-DMA RoIAlign: +50% e2e on TPU and the reference-exact
-            # adaptive grid (sr=0) costs the same as static (ROADMAP
-            # ledger); CPU falls back to the differentiable XLA gather
-            roi_backend=("pallas" if jax.default_backend() != "cpu"
-                         else "xla"),
-            roi_sampling_ratio=(0 if jax.default_backend() != "cpu"
-                                else 2),
+            roi_backend=roi_backend,
+            roi_sampling_ratio=(0 if roi_backend == "pallas" else 2),
         )
 
         @jax.jit
@@ -500,7 +509,25 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                    help="detection input size (COCO eval contract)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--roi-backend", default="auto",
+                   choices=("auto", "xla", "pallas"),
+                   help="RoIAlign path for --detect-output detections "
+                        "(two-stage presets): 'auto' = patch-DMA Pallas "
+                        "kernel + exact sr=0 grid on TPU, XLA gather "
+                        "elsewhere")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(default: ~/.cache/mrla_tpu_jax so daemon "
+                        "restarts skip the multi-minute detector compile)")
     args = p.parse_args(argv)
+
+    if not args.no_compile_cache:
+        # the fused two-stage detector program (Pallas RoIAlign + NMS +
+        # decode) compiles in ~12 min cold; persist the executable so a
+        # daemon restart warms in seconds (same pattern as bench.py)
+        from mrla_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
     if args.detect_preset:
         from mrla_tpu.detect.configs import PRESETS
@@ -568,6 +595,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 batch_size=args.batch_size, image_hw=tuple(args.image_hw),
                 score_thr=args.score_thr, max_wait_ms=args.max_wait_ms,
                 host=args.host, port=args.port, timeout_s=args.timeout_s,
+                roi_backend=args.roi_backend,
             )
         else:
             httpd, beng = build_detect_server(

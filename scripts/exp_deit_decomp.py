@@ -39,18 +39,6 @@ ITERS = 30
 V5E_BF16_TFLOPS = 197.0
 
 
-def timed(run, *args):
-    run(*args).block_until_ready() if hasattr(
-        run(*args), "block_until_ready") else float(run(*args))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = run(*args)
-        float(jnp.sum(r)) if hasattr(r, "shape") else float(r)
-        times.append(time.perf_counter() - t0)
-    return min(times)
-
-
 def bench_scan(name, apply_fn, x0, flops_per_iter=None):
     """Time ITERS sequential applications with a carried perturbation."""
 

@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mrla_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 from mrla_tpu.models import create_model
 from mrla_tpu.serving.resnet_mrlal import (
     attach_stage4, prepare_inference_params, resnet_mrlal_forward)
@@ -64,7 +68,10 @@ def main():
                           jnp.bfloat16)
 
     # on-chip parity (bf16 serving dtype; kernel reassociates the matmuls)
+    print("compiling jnp unsplit forward...", flush=True)
     ref = resnet_mrlal_forward(sp, x, microbatch=0)
+    ref.block_until_ready()
+    print("compiling stage4 unsplit forward...", flush=True)
     got = resnet_mrlal_forward(sp, x, microbatch=0, use_stage4=True)
     rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
     print(f"on-chip logit parity (bf16): rel {rel:.2e}", flush=True)

@@ -105,6 +105,94 @@ def test_detector_roi_backend_pallas(monkeypatch):
     assert d / s < 2e-4, d / s
 
 
+@pytest.mark.parametrize("sr", [2, 0])
+def test_grad_matches_xla_gather(sr):
+    """Custom-VJP parity (round 5): the patch-DMA backward (per-roi
+    Ayᵀ·G·Ax + RMW-DMA scatter) must match jax.grad through the XLA
+    gather path at fp32 tolerance, across all FPN levels, overlapping
+    rois, and invalid-roi masking."""
+    rng = np.random.default_rng(7)
+    sizes = [(64, 88), (32, 44), (16, 22), (8, 11)]
+    feats = _feats(rng, 2, sizes, c=128)
+    rois = _realistic_rois(rng, 2, 24, (256, 352))
+    valid = jnp.asarray(rng.random((2, 24)) > 0.2)
+    ct = jnp.asarray(
+        rng.standard_normal((2, 24, 7, 7, 128)), jnp.float32)
+
+    def loss_patch(fs):
+        return jnp.sum(
+            roi_align_patch(fs, rois, valid, sampling_ratio=sr,
+                            interpret=True) * ct)
+
+    def loss_xla(fs):
+        return jnp.sum(
+            batched_roi_align(fs, rois, valid, sampling_ratio=sr) * ct)
+
+    gp = jax.grad(loss_patch)(feats)
+    gx = jax.grad(loss_xla)(feats)
+    lvls_hit = 0
+    for level, (a, b) in enumerate(zip(gp, gx)):
+        scale = float(jnp.max(jnp.abs(b)))
+        if scale > 0:
+            lvls_hit += 1
+            rel = float(jnp.max(jnp.abs(a - b))) / scale
+            assert rel < 2e-4, (level, rel)
+        else:
+            assert float(jnp.max(jnp.abs(a))) == 0.0, level
+    assert lvls_hit >= 3, "roi mix failed to exercise multiple FPN levels"
+
+
+def test_grad_no_flow_to_rois_and_valid():
+    """Roi coordinates and the valid mask get zero cotangents (the
+    torchvision/mmcv RoIAlign contract — boxes are not differentiated)."""
+    rng = np.random.default_rng(8)
+    sizes = [(32, 44), (16, 22), (8, 11), (4, 8)]
+    feats = _feats(rng, 1, sizes, c=128)
+    rois = _realistic_rois(rng, 1, 8, (128, 176))
+    valid = jnp.ones((1, 8), jnp.float32)
+
+    def loss(r, v):
+        return jnp.sum(
+            roi_align_patch(feats, r, v, sampling_ratio=0,
+                            interpret=True))
+
+    gr, gv = jax.grad(loss, argnums=(0, 1))(rois, valid)
+    assert float(jnp.max(jnp.abs(gr))) == 0.0
+    assert float(jnp.max(jnp.abs(gv))) == 0.0
+
+
+def test_grad_invalid_rois_contribute_nothing():
+    """An invalid roi's cotangent must not leak into the feature grads
+    (the forward masks its output via meta valid; the backward masks the
+    incoming cotangent the same way)."""
+    rng = np.random.default_rng(9)
+    sizes = [(32, 44), (16, 22), (8, 11), (4, 8)]
+    feats = _feats(rng, 1, sizes, c=128)
+    rois = _realistic_rois(rng, 1, 8, (128, 176))
+    ct = jnp.asarray(rng.standard_normal((1, 8, 7, 7, 128)), jnp.float32)
+
+    def loss(fs, v):
+        return jnp.sum(
+            roi_align_patch(fs, rois, v, sampling_ratio=2,
+                            interpret=True) * ct)
+
+    all_v = jnp.ones((1, 8), jnp.float32)
+    half_v = all_v.at[0, :4].set(0.0)
+    g_half = jax.grad(loss)(feats, half_v)
+    # reference: gradient with only the valid half's cotangent live
+    ct_masked = ct * half_v[..., None, None, None]
+
+    def loss_masked(fs):
+        return jnp.sum(
+            roi_align_patch(fs, rois, all_v, sampling_ratio=2,
+                            interpret=True) * ct_masked)
+
+    g_ref = jax.grad(loss_masked)(feats)
+    for a, b in zip(g_half, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
 def test_bf16_path():
     rng = np.random.default_rng(2)
     sizes = [(56, 56), (28, 28), (14, 14), (7, 7)]
