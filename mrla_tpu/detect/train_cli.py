@@ -101,18 +101,19 @@ def parse_args(argv=None):
                    help="synthetic val batches per eval")
     p.add_argument("--score-thr", type=float, default=0.05)
     p.add_argument(
-        "--roi-sampling-ratio", type=int, default=2,
+        "--roi-sampling-ratio", type=int, default=None,
         help="two-stage RoIAlign grid: 0 = the reference presets' exact "
         "adaptive ceil-grid (mmcv sampling_ratio=0 — the parity setting; "
         "~8x slower on the XLA backend, FREE on the pallas backend), "
-        "k>0 = static kxk (2 default)",
+        "k>0 = static kxk.  Default: 0 when the resolved backend is "
+        "pallas (exactness is free there), else 2",
     )
     p.add_argument(
         "--roi-backend", choices=("auto", "xla", "pallas"), default="auto",
-        help="RoIAlign implementation for --eval-only: 'pallas' = "
-        "patch-DMA kernel (TPU, +50%% e2e at sr=2, 12x at sr=0 — ROADMAP "
-        "ledger); 'auto' = pallas on TPU eval, xla otherwise.  Training "
-        "always pools through the differentiable XLA gather",
+        help="RoIAlign implementation: 'pallas' = patch-DMA kernel with "
+        "custom VJP (TPU; +50%% eval e2e at sr=2, 12x at sr=0 — ROADMAP "
+        "ledger; differentiable since round 5 so training qualifies "
+        "too); 'auto' = pallas on TPU, xla otherwise",
     )
     return p.parse_args(argv)
 
@@ -125,27 +126,36 @@ def build_model(args):
     layers = tuple(args.backbone_layers or preset.backbone_layers)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if "retinanet" in args.preset:
+        if args.roi_backend == "pallas":
+            raise SystemExit(
+                "--roi-backend pallas applies to two-stage presets only "
+                "(retinanet has no RoIAlign)"
+            )
         return RetinaNet(layers=layers, num_classes=args.num_classes,
                          dtype=dtype, remat=args.remat), "retinanet"
     cls = MaskRCNN if "mask" in args.preset else FasterRCNN
     backend = args.roi_backend
     if backend == "auto":
-        # pallas has no VJP: eval-only on an accelerator qualifies
+        # the patch-DMA kernel targets the TPU Pallas backend specifically
+        # (make_async_copy / PrefetchScalarGridSpec) — gate on 'tpu', not
+        # merely non-cpu (ADVICE r4: would fail outright on gpu)
         backend = (
             "pallas"
-            if args.eval_only and jax.default_backend() != "cpu"
+            if jax.default_backend() == "tpu"
             else "xla"
         )
-    elif backend == "pallas" and not args.eval_only:
-        raise SystemExit(
-            "--roi-backend pallas is inference-only (no VJP); "
-            "training pools through the XLA gather"
-        )
+    sr = args.roi_sampling_ratio
+    if sr is None:
+        # pallas makes the reference presets' exact adaptive grid
+        # (sampling_ratio=0, faster_rcnn_r50mrlal_fpn.py:40) free, so it
+        # is the default there; the XLA gather pays ~8x for it, so that
+        # path defaults to the close static 2x2 grid
+        sr = 0 if backend == "pallas" else 2
     return (
         cls(layers=layers, num_classes=args.num_classes,
             num_proposals=args.rpn_proposals, dtype=dtype,
             remat=args.remat,
-            roi_sampling_ratio=args.roi_sampling_ratio,
+            roi_sampling_ratio=sr,
             roi_backend=backend),
         "two_stage",
     )
@@ -201,15 +211,23 @@ def make_optimizer(args, schedule, params):
     return tx
 
 
-def data_iter(args, train: bool, epoch: int):
+def data_iter(args, train: bool, epoch: int, rank: int = 0,
+              world: int = 1):
+    """Training batches; with ``world > 1`` each process yields its LOCAL
+    shard of the global batch (batch_size/world rows) for
+    ``parallel.mesh.shard_batch`` to assemble into one global array —
+    the same contract as the classification CLI (train/cli.py).  Eval
+    always runs the full iterator (callers pass world=1): every rank
+    computes the identical mAP and rank 0 logs it."""
     canvas = tuple(args.img_size) if len(args.img_size) == 2 else (
         args.img_size[0], args.img_size[0]
     )
+    local_bs = args.batch_size // world
     if args.data == "synthetic-detect":
         from mrla_tpu.data.synthetic import synthetic_detection_batches
 
         steps = args.steps_per_epoch if train else args.eval_steps
-        return synthetic_detection_batches(
+        it = synthetic_detection_batches(
             args.batch_size,
             image_size=canvas[0],
             num_classes=args.num_classes,
@@ -218,6 +236,18 @@ def data_iter(args, train: bool, epoch: int):
             seed=(args.seed + epoch * 1000 + (0 if train else 777)),
             with_masks="mask" in args.preset,
         )
+        if world == 1:
+            return it
+
+        def _local():
+            # identical global batch on every rank (same seed); take this
+            # rank's contiguous slice — the DDP-equivalence contract the
+            # multihost tests assert (tests/test_multihost.py)
+            lo = rank * local_bs
+            for b in it:
+                yield {k: v[lo:lo + local_bs] for k, v in b.items()}
+
+        return _local()
     from mrla_tpu.data.coco import CocoDetection, coco_batches
 
     ann = args.train_ann if train else (args.val_ann or args.train_ann)
@@ -225,9 +255,23 @@ def data_iter(args, train: bool, epoch: int):
     if ann is None or imgs is None:
         raise SystemExit("--data coco requires --train-ann/--train-imgs")
     ds = CocoDetection(ann, imgs)
+    # per-rank strided shard (the reference's DistributedSampler split);
+    # truncate to a multiple of the LOCAL batch so every rank runs the
+    # same number of steps (ragged finals would desync the collective)
+    indices = None
+    if world > 1:
+        idx = np.arange(rank, len(ds), world)
+        n = (len(idx) // local_bs) * local_bs
+        if n == 0:
+            raise SystemExit(
+                f"dataset too small: rank shard {len(idx)} < local "
+                f"batch {local_bs}"
+            )
+        indices = idx[:n]
     return coco_batches(
-        ds, args.batch_size, canvas_hw=canvas, max_gt=args.max_gt,
+        ds, local_bs, canvas_hw=canvas, max_gt=args.max_gt,
         shuffle=train, augment=train, seed=args.seed + epoch,
+        indices=indices,
         with_masks="mask" in args.preset,
         with_eval_extras=not train,
     )
@@ -235,6 +279,24 @@ def data_iter(args, train: bool, epoch: int):
 
 def main(argv=None):
     args = parse_args(argv)
+    # the eval-only detector program (Pallas RoIAlign + NMS) compiles in
+    # ~12 min cold; persist executables so repeat evals warm in seconds
+    from mrla_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    # multi-host control plane (COORDINATOR_ADDRESS/NUM_PROCESSES/
+    # PROCESS_ID or SLURM env — no-op single-process); same launcher
+    # contract as the classification CLI (parallel/launch.py)
+    from mrla_tpu.parallel.launch import init_distributed, is_main_process
+
+    dist_info = init_distributed()
+    rank = dist_info["process_index"]
+    world = jax.process_count()
+    if world > 1 and args.dp != jax.device_count():
+        raise SystemExit(
+            f"multi-process runs shard over ALL global devices: pass "
+            f"--dp {jax.device_count()} (got --dp {args.dp})"
+        )
     preset = PRESETS[args.preset]
     model, kind = build_model(args)
     norm_eval = preset.norm_eval and not args.no_norm_eval
@@ -377,7 +439,7 @@ def main(argv=None):
         return {"params": params, "batch_stats": batch_stats,
                 "best_map": m["mAP"], **m}
 
-    batch_sharding = None
+    dp_mesh = None
     if args.dp > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -387,30 +449,31 @@ def main(argv=None):
             raise SystemExit(
                 f"--batch-size {args.batch_size} must divide --dp {args.dp}"
             )
-        mesh = make_mesh(axes=("data",), shape=(args.dp,))
-        rep = NamedSharding(mesh, P())
+        dp_mesh = make_mesh(axes=("data",), shape=(args.dp,))
+        rep = NamedSharding(dp_mesh, P())
         params = jax.device_put(params, rep)
         batch_stats = jax.device_put(batch_stats, rep)
         opt_state = jax.device_put(opt_state, rep)
 
-        def batch_sharding(v):
-            return NamedSharding(
-                mesh, P(*(["data"] + [None] * (v.ndim - 1)))
-            )
-
     step_key = jax.random.key(args.seed + 1)
     global_step = start_epoch * steps_per_epoch
+    losses = {}
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = {}
-        for batch in data_iter(args, train=True, epoch=epoch):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()
+        for batch in data_iter(args, train=True, epoch=epoch,
+                               rank=rank, world=world):
+            batch = {k: v for k, v in batch.items()
                      if k != "sample_valid"}
-            if batch_sharding is not None:
-                batch = {
-                    k: jax.device_put(v, batch_sharding(v))
-                    for k, v in batch.items()
-                }
+            if dp_mesh is not None:
+                # single-process: device_put the global batch sharded on
+                # 'data'; multi-host: assemble the global array from the
+                # per-process local shards (no cross-host copies)
+                from mrla_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, dp_mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             step_key, k = jax.random.split(step_key)
             params, batch_stats, opt_state, losses = train_step(
                 params, batch_stats, opt_state, batch, k
@@ -438,19 +501,25 @@ def main(argv=None):
             is_best = False
         from mrla_tpu.ckpt.orbax_io import save_checkpoint
 
+        # orbax saves are COLLECTIVE in multi-host runs: every process
+        # calls save (device_get the replicated tree first); orbax does
+        # the single-writer coordination (same as train/cli.py)
         save_checkpoint(
             args.output_dir,
-            {"params": params, "batch_stats": batch_stats,
-             "opt_state": opt_state},
+            jax.device_get({"params": params, "batch_stats": batch_stats,
+                            "opt_state": opt_state}),
             epoch,
             best_acc1=best_map,
             is_best=is_best,
         )
-        with open(log_path, "a") as f:
-            f.write(json.dumps(line) + "\n")
+        # text artifacts are plain writes — rank-0-gate them
+        if is_main_process():
+            with open(log_path, "a") as f:
+                f.write(json.dumps(line) + "\n")
         print(json.dumps(line))
     return {"params": params, "batch_stats": batch_stats,
-            "best_map": best_map}
+            "best_map": best_map,
+            "last_losses": {k: float(v) for k, v in losses.items()}}
 
 
 def evaluate(args, model, kind, params, batch_stats, epoch) -> Dict[str, Any]:

@@ -239,9 +239,10 @@ class FasterRCNN(nn.Module):
     # knob (the RoI stage is gather-row-bound — see detect/roi_align.py)
     roi_sampling_ratio: int = 2
     # 'xla' = flat-take gather (batched_roi_align); 'pallas' = patch-DMA
-    # kernel (kernels/roialign_patch.py) — inference-only (no VJP), makes
-    # sampling_ratio=0 (the reference presets' adaptive grid) cost the
-    # same as static grids
+    # kernel (kernels/roialign_patch.py) — makes sampling_ratio=0 (the
+    # reference presets' adaptive grid) cost the same as static grids,
+    # and differentiable since round 5 (custom VJP: per-roi Ayᵀ·G·Ax +
+    # RMW-DMA scatter), so training can run it too
     roi_backend: str = "xla"
     dtype: Any = jnp.float32
     # backbone rematerialization for big-batch training; at the reference

