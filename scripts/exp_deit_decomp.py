@@ -32,6 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mrla_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 BS = 128
 N, C, HEADS = 197, 384, 6
 DEPTH = 12
@@ -80,7 +84,7 @@ def main():
     print("== full-model rates (bs128 bf16 224px, input-perturbed) ==",
           flush=True)
     full_ms = {}
-    for arch in ("deit_mrlal_small", "deit_small"):
+    for arch in ("deit_mrlal_small_patch16_224", "deit_small_patch16_224"):
         model = create_model(arch)
         variables = model.init(rng, jnp.zeros((1, 224, 224, 3)), train=False)
         m, cast = prepare_deit_inference_params(arch, variables)
@@ -107,8 +111,10 @@ def main():
             full_ms[(arch, mb)] = dt * 1e3
             print(f"  {arch} mb{mb}: {dt*1e3:.2f} ms = {BS/dt:,.0f} img/s",
                   flush=True)
-    d0 = full_ms[("deit_mrlal_small", 0)] - full_ms[("deit_small", 0)]
-    d16 = full_ms[("deit_mrlal_small", 16)] - full_ms[("deit_small", 16)]
+    d0 = (full_ms[("deit_mrlal_small_patch16_224", 0)]
+          - full_ms[("deit_small_patch16_224", 0)])
+    d16 = (full_ms[("deit_mrlal_small_patch16_224", 16)]
+           - full_ms[("deit_small_patch16_224", 16)])
     print(f"  MRLA tail in-model cost: mb0 {d0:.2f} ms, mb16 {d16:.2f} ms",
           flush=True)
 
@@ -156,7 +162,7 @@ def main():
         x_tok, f_tail)
 
     # patch embed (once per image)
-    model = create_model("deit_small")
+    model = create_model("deit_small_patch16_224")
     pe_vars = model.init(rng, jnp.zeros((1, 224, 224, 3)), train=False)
     from mrla_tpu.models.deit import PatchEmbed
 
