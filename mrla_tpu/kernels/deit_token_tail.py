@@ -65,17 +65,28 @@ def _ln(v32, scale, bias, eps=1e-6):
     return d * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _roll_mask_grid(x32, dh: int, dw: int):
-    """(dh, dw)-shifted view of x32 [B·196, C] fp32 with zero boundary;
-    row i is image i//196, grid cell (h, w) = ((i//14) % 14, i % 14)."""
+def _roll_mask_grid(x32, dh: int, dw: int, n_tok: int):
+    """(dh, dw)-shifted view of x32 [B·n_tok, C] fp32 with zero
+    boundary.  Row i is image i//n_tok, row-in-image r = i % n_tok;
+    r = 0 is the cls row (excluded), grid cell (h, w) =
+    ((r-1) // 14 % 14, (r-1) % 14).  Because grid rows are contiguous
+    within an image, the spatial neighbor (h+dh, w+dw) sits at flat
+    offset dh·14+dw — one sublane roll; positions whose neighbor falls
+    off the 14x14 map (or that are cls rows) are zeroed."""
     if dh == 0 and dw == 0:
         return x32
     n = x32.shape[0]
     s = pltpu.roll(x32, (-(dh * S + dw)) % n, 0)
     i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    h = (i // S) % S
-    w = i % S
-    ok = (h + dh >= 0) & (h + dh < S) & (w + dw >= 0) & (w + dw < S)
+    r = i % n_tok
+    t = r - 1
+    h = (t // S) % S
+    w = t % S
+    ok = (
+        (r >= 1)
+        & (h + dh >= 0) & (h + dh < S)
+        & (w + dw >= 0) & (w + dw < S)
+    )
     return jnp.where(ok, s, jnp.zeros_like(s))
 
 
@@ -94,32 +105,33 @@ def _chan_conv1d(y32, taps_ref, row: int, k: int):
 
 
 def _kernel(
-    xg_ref,   # [R, C] grid tokens of x (post-MLP block output)
-    og_ref,   # [R, C] grid tokens of ot (block input)
-    xc_ref,   # [B, C] cls rows of x
+    x_ref,    # [B·N, C] all tokens of x (post-MLP block output)
+    o_ref,    # [B·N, C] all tokens of ot (block input)
     w_ref,    # [16, C] fp32 channel params (see pack)
     taps_ref,  # [2, K] fp32 wq/wk taps
-    outg_ref, outc_ref,
+    out_ref,
     *, b: int, heads: int, ktap: int,
 ):
-    r, c = xg_ref.shape
+    r, c = x_ref.shape
     d = c // heads
-    g2 = r // b  # 196
+    n_tok = r // b  # 197: cls + 196 grid rows, contiguous per image
 
-    x32 = xg_ref[...].astype(jnp.float32)
-    o32 = og_ref[...].astype(jnp.float32)
+    x32 = x_ref[...].astype(jnp.float32)
+    o32 = o_ref[...].astype(jnp.float32)
     normx = _ln(x32, w_ref[0].reshape(1, c), w_ref[1].reshape(1, c))
     normo = _ln(o32, w_ref[2].reshape(1, c), w_ref[3].reshape(1, c))
 
-    # per-image GAP: [B, R] 0/1 matmul (iota-built, fp32)
-    bi = jax.lax.broadcasted_iota(jnp.int32, (b, r), 1) // g2
-    sel = (bi == jax.lax.broadcasted_iota(jnp.int32, (b, r), 0)).astype(
-        jnp.float32
-    )
+    # per-image GAP over GRID rows only: [B, R] 0/1 matmul (iota-built)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, r), 1)
+    bi = col // n_tok
+    is_grid_col = (col % n_tok) >= 1
+    sel = (
+        (bi == jax.lax.broadcasted_iota(jnp.int32, (b, r), 0)) & is_grid_col
+    ).astype(jnp.float32)
     gap = jax.lax.dot_general(
         sel, normx, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (1.0 / g2)  # [B, C]
+    ) * (1.0 / (n_tok - 1))  # [B, C]
 
     q = _chan_conv1d(gap, taps_ref, 0, ktap)
     k = _chan_conv1d(gap, taps_ref, 1, ktap)
@@ -137,9 +149,15 @@ def _kernel(
         attn, seg.T, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [B, C]
-    # broadcast per-image gate back to rows: [R, B] @ [B, C]
+    # broadcast per-image gate back to rows: [R, B] @ [B, C] (the image
+    # selector without the grid mask — cls rows get a gate value too but
+    # their output is overridden below)
+    selb = (
+        jax.lax.broadcasted_iota(jnp.int32, (r, b), 0) // n_tok
+        == jax.lax.broadcasted_iota(jnp.int32, (r, b), 1)
+    ).astype(jnp.float32)
     gate_rows = jax.lax.dot_general(
-        sel.T, gate, (((1,), (0,)), ((), ())),
+        selb, gate, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [R, C]
 
@@ -148,18 +166,18 @@ def _kernel(
     for dh in (-1, 0, 1):
         for dw in (-1, 0, 1):
             tap = w_ref[5 + (dh + 1) * 3 + (dw + 1)].reshape(1, c)
-            acc = acc + _roll_mask_grid(normx, dh, dw) * tap
+            acc = acc + _roll_mask_grid(normx, dh, dw, n_tok) * tap
     v = 0.5 * acc * (1.0 + _erf(acc * np.float32(1.0 / np.sqrt(2.0))))
 
     lam = w_ref[4].reshape(1, c)
-    outg_ref[...] = (
-        x32 + v * gate_rows + lam * normo
-    ).astype(outg_ref.dtype)
-
-    xc32 = xc_ref[...].astype(jnp.float32)
-    outc_ref[...] = (
-        xc32 + _ln(xc32, w_ref[0].reshape(1, c), w_ref[1].reshape(1, c))
-    ).astype(outc_ref.dtype)
+    # grid rows: x + v·gate + λ·normo; cls rows: x + normx (the bypass
+    # passes the NORMALIZED cls through — deit_mrla_light.py:199-207)
+    i = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    is_grid = (i % n_tok) >= 1
+    mrla = v * gate_rows + lam * normo
+    out_ref[...] = (
+        x32 + jnp.where(is_grid, mrla, normx)
+    ).astype(out_ref.dtype)
 
 
 def pack_tail_params(p: Dict, dtype=jnp.float32):
@@ -197,16 +215,16 @@ def deit_token_tail(
     """
     b, n, c = x.shape
     assert n == S * S + 1, n
-    r = b * (n - 1)
-    assert r % 8 == 0, "flat grid rows must be 8-aligned (b even)"
+    r = b * n
+    assert r % 8 == 0, "flat token rows must be 8-aligned"
     heads = c // dim_perhead
     ktap = int(taps.shape[-1])
 
-    xg = x[:, 1:].reshape(r, c)
-    og = ot[:, 1:].reshape(r, c)
-    xc = x[:, 0]
-
-    outg, outc = pl.pallas_call(
+    # the FULL token rows, cls included — [B, N, C] -> [B·N, C] is a
+    # free contiguous reshape, so the kernel boundary adds NO slice or
+    # concat copies (the v1 grid-only layout paid 3 extra HBM copies per
+    # call and measured a tie; this layout is the pure fusion)
+    out = pl.pallas_call(
         functools.partial(_kernel, b=b, heads=heads, ktap=ktap),
         grid=(),
         in_specs=[
@@ -214,24 +232,15 @@ def deit_token_tail(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r, c), x.dtype),
-            jax.ShapeDtypeStruct((b, c), x.dtype),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xg, og, xc, w, taps)
-    return jnp.concatenate(
-        [outc[:, None, :], outg.reshape(b, n - 1, c)], axis=1
-    )
+    )(x.reshape(r, c), ot.reshape(r, c), w, taps)
+    return out.reshape(b, n, c)
 
 
 def extract_tail_params(block_params: Dict) -> Dict:
