@@ -129,37 +129,53 @@ def main():
     print(f"faster_rcnn train step, bs{B} {H}x{W} bf16 SGD, "
           f"input-perturbed x{ITERS}:", flush=True)
 
-    # on-chip gradient parity first (pallas vs xla at the SAME sr=2 grid)
+    # on-chip gradient parity first (pallas vs xla at the SAME sr=2 grid).
+    # Rigorous fp32 per-element parity is already asserted on CPU
+    # (tests/test_roialign_patch.py::test_grad_matches_xla_gather); this
+    # is the bf16 on-chip sanity: global cosine + relative L2 (a per-leaf
+    # max-ratio metric amplifies bf16 noise on near-zero leaves).
     if not os.environ.get("SKIP_PARITY"):
         print("gradient parity pallas-vs-xla (sr=2)...", flush=True)
         _, p_x, bs_x, _, _, loss_x = build_step("xla", 2)
-        _, p_p, _, _, _, loss_p = build_step("pallas", 2)
+        _, _, _, _, _, loss_p = build_step("pallas", 2)
 
-        def gx(p):
-            return jax.grad(lambda q: loss_x(q, batch,
-                                             jax.random.key(1))[0])(p)
+        @jax.jit
+        def parity(p, batch):
+            ga = jax.grad(lambda q: loss_x(q, batch,
+                                           jax.random.key(1))[0])(p)
+            gb = jax.grad(lambda q: loss_p(q, batch,
+                                           jax.random.key(1))[0])(p)
+            fa = jnp.concatenate([
+                g.astype(jnp.float32).ravel() for g in jax.tree.leaves(ga)
+            ])
+            fb = jnp.concatenate([
+                g.astype(jnp.float32).ravel() for g in jax.tree.leaves(gb)
+            ])
+            cos = jnp.vdot(fa, fb) / (
+                jnp.linalg.norm(fa) * jnp.linalg.norm(fb) + 1e-30)
+            rel = jnp.linalg.norm(fa - fb) / (jnp.linalg.norm(fa) + 1e-30)
+            return cos, rel
 
-        def gp(p):
-            return jax.grad(lambda q: loss_p(q, batch,
-                                             jax.random.key(1))[0])(p)
-
-        ga = jax.jit(gx)(p_x)
-        gb = jax.jit(gp)(p_x)
-        flat_a = jax.tree.leaves(ga)
-        flat_b = jax.tree.leaves(gb)
-        worst = 0.0
-        for a, b in zip(flat_a, flat_b):
-            s = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) + 1e-9
-            d = float(jnp.max(jnp.abs(
-                a.astype(jnp.float32) - b.astype(jnp.float32))))
-            worst = max(worst, d / s)
-        print(f"  max per-leaf relative grad diff: {worst:.2e}", flush=True)
+        # smaller canvas for the twin fwd+bwd program (one jit holds both
+        # backends' activation sets; full bs8 800x1344 would OOM)
+        rng_p = np.random.default_rng(7)
+        small = (
+            jnp.asarray(rng_p.standard_normal((2, 448, 704, 3)),
+                        jnp.float32),
+            batch[1][:2] * 0.5, batch[2][:2], batch[3][:2],
+        )
+        cos, rel = parity(p_x, small)
+        print(f"  grad cosine {float(cos):.6f}, relative L2 "
+              f"{float(rel):.2e}", flush=True)
+        del p_x, bs_x, loss_x, loss_p
+        parity.clear_cache()
 
     for spec in want:
         backend, sr = spec.split(":")
         sr = int(sr)
         _, params, bs, opt_state, step, _ = build_step(backend, sr)
         bench(f"{backend} sr={sr}", step, params, opt_state, batch)
+        del params, bs, opt_state, step
 
 
 if __name__ == "__main__":
