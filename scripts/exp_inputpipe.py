@@ -105,11 +105,14 @@ def bench_end_to_end():
     import jax
     import jax.numpy as jnp
 
-    from mrla_tpu.data.imagefolder import ImageFolder, iter_batches
+    from mrla_tpu.data.imagefolder import ImageFolder, iterate_batches
+    from mrla_tpu.data.transforms import normalize
     from mrla_tpu.models import create_model
     from mrla_tpu.serving.resnet_mrlal import (
         prepare_inference_params, resnet_mrlal_forward)
+    from mrla_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     model = create_model("resnet50_mrlal")
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, 224, 224, 3)), train=False)
@@ -117,18 +120,23 @@ def bench_end_to_end():
 
     ds = ImageFolder(os.path.join(ROOT, "train"))
     bs = 128
+    idxs = np.arange(len(ds))
 
-    # device-only reference rate at this batch size (honest: input
-    # perturbed per call by feeding alternating real batches)
+    @jax.jit
+    def f(x_u8):
+        # device-side normalize is part of the serving contract (the
+        # eval CLI's path); uint8 host->device transfer keeps the copy
+        # at 1 byte/px
+        return resnet_mrlal_forward(sp, normalize(x_u8).astype(
+            jnp.bfloat16))
+
+    # device-only reference rate (honest: two real batches alternate)
     batches = []
-    it = iter_batches(ds, batch_size=bs, size=SIZE, train=False,
-                      num_threads=2)
-    for i, (x, y) in enumerate(it):
-        if x.shape[0] == bs:
-            batches.append(jnp.asarray(x, jnp.bfloat16))
+    for b in iterate_batches(ds, idxs, bs, size=SIZE, train=False,
+                             num_threads=2, drop_last=True):
+        batches.append(jnp.asarray(b["image"]))
         if len(batches) == 2:
             break
-    f = lambda x: resnet_mrlal_forward(sp, x)
     f(batches[0]).block_until_ready()
     f(batches[1]).block_until_ready()
     t0 = time.perf_counter()
@@ -144,17 +152,18 @@ def bench_end_to_end():
     n_imgs = 0
     t0 = time.perf_counter()
     out = None
-    for x, y in iter_batches(ds, batch_size=bs, size=SIZE, train=False,
-                             num_threads=2):
-        out = f(jnp.asarray(x, jnp.bfloat16))
-        n_imgs += x.shape[0]
+    for b in iterate_batches(ds, idxs, bs, size=SIZE, train=False,
+                             num_threads=2, drop_last=True):
+        out = f(jnp.asarray(b["image"]))
+        n_imgs += b["image"].shape[0]
     out.block_until_ready()
     dt = time.perf_counter() - t0
     e2e = n_imgs / dt
     print(f"  loader->chip end-to-end: {e2e:.0f} img/s "
           f"({n_imgs} imgs; host-bound on this 1-vCPU machine)", flush=True)
     print(f"  cores needed to feed {dev_rate:.0f} img/s at the measured "
-          f"per-core decode rate: see table above", flush=True)
+          f"per-core decode rate: {dev_rate:.0f} / per-core rate above",
+          flush=True)
 
 
 if __name__ == "__main__":
