@@ -32,8 +32,13 @@ variables = model.init(jax.random.PRNGKey(0),
                        jnp.zeros((1, 224, 224, 3)), train=False)
 sp = prepare_inference_params(variables)
 x = jnp.zeros((128, 224, 224, 3), jnp.bfloat16)
+# NONCE makes the program's HLO novel so the FIRST run is cold at every
+# cache layer (this machine's terminal-side remote-compile service has
+# its own cache, which confounds a naive cold/warm pair)
+nonce = jnp.bfloat16(float(os.environ["NONCE"]))
+fwd = jax.jit(lambda x: resnet_mrlal_forward(sp, x * nonce))
 t0 = time.perf_counter()
-resnet_mrlal_forward(sp, x).block_until_ready()
+fwd(x).block_until_ready()
 print(f"CHILD_RESULT import+init {t0 - t_start:.1f}s "
       f"first-batch {time.perf_counter() - t0:.1f}s", flush=True)
 """
@@ -42,7 +47,11 @@ print(f"CHILD_RESULT import+init {t0 - t_start:.1f}s "
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with tempfile.TemporaryDirectory() as cache:
-        env = dict(os.environ, CACHE_DIR=cache)
+        # one nonce per script run: first child cold at EVERY layer,
+        # second child identical HLO -> client persistent-cache hit
+        # bf16-representable distinct values (x is zeros; scale harmless)
+        nonce = 1.0 + (int(time.time()) % 100) * 0.0078125
+        env = dict(os.environ, CACHE_DIR=cache, NONCE=repr(nonce))
         for tag in ("cold", "warm"):
             t0 = time.perf_counter()
             out = subprocess.run(

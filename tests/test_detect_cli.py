@@ -336,3 +336,47 @@ def test_mask_rcnn_cli_coco_segmentation(tmp_path):
         (tmp_path / "run" / "log.jsonl").read_text().splitlines()[-1]
     )
     assert "loss_mask" in rec and np.isfinite(rec["loss_mask"])
+
+
+def test_roi_backend_resolution():
+    """Round-5 backend/grid defaults: 'auto' -> xla on CPU (pallas is
+    TPU-only), sr default 2 on xla / 0 on pallas; explicit pallas with a
+    retinanet preset is rejected (no RoIAlign there)."""
+    from mrla_tpu.detect.train_cli import build_model, parse_args
+
+    args = parse_args([
+        "--preset", "faster_rcnn_r50mrlal_fpn_1x_coco",
+        "--backbone-layers", "1", "1", "1", "1",
+    ])
+    model, kind = build_model(args)
+    assert kind == "two_stage"
+    # CPU test env: auto resolves to the differentiable XLA gather with
+    # the close static 2x2 grid
+    assert model.roi_backend == "xla"
+    assert model.roi_sampling_ratio == 2
+
+    args = parse_args([
+        "--preset", "faster_rcnn_r50mrlal_fpn_1x_coco",
+        "--backbone-layers", "1", "1", "1", "1",
+        "--roi-backend", "pallas",
+    ])
+    model, _ = build_model(args)
+    # explicit pallas: the reference presets' exact adaptive grid is the
+    # default there (it costs nothing on that backend)
+    assert model.roi_backend == "pallas"
+    assert model.roi_sampling_ratio == 0
+
+    args = parse_args([
+        "--preset", "faster_rcnn_r50mrlal_fpn_1x_coco",
+        "--backbone-layers", "1", "1", "1", "1",
+        "--roi-backend", "pallas", "--roi-sampling-ratio", "2",
+    ])
+    model, _ = build_model(args)
+    assert model.roi_sampling_ratio == 2  # explicit sr wins
+
+    args = parse_args([
+        "--preset", "retinanet_r50mrlal_fpn_1x_coco",
+        "--roi-backend", "pallas",
+    ])
+    with pytest.raises(SystemExit):
+        build_model(args)
