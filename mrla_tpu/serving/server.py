@@ -42,6 +42,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -395,6 +396,7 @@ def build_detections_server(
     timeout_s: float = 120.0,
     num_proposals: int = 1000,
     roi_backend: str = "auto",
+    backbone_layers=None,
 ):
     """Full-detector daemon: POST /predict (npy [N,H,W,3]) -> JSON
     detections (boxes/scores/labels per image, mmdet test_cfg decode).
@@ -410,13 +412,14 @@ def build_detections_server(
     from mrla_tpu.detect.configs import PRESETS
 
     p = PRESETS[preset]
+    layers = tuple(backbone_layers or p.backbone_layers)
     h, w = image_hw
     det_variables = jax.device_put(det_variables)
     if "retinanet" in preset:
         from mrla_tpu.detect.retinanet import RetinaNet, get_bboxes
 
         model = RetinaNet(
-            layers=tuple(p.backbone_layers), num_classes=num_classes,
+            layers=layers, num_classes=num_classes,
             dtype=jnp.bfloat16,
         )
 
@@ -442,7 +445,7 @@ def build_detections_server(
             roi_backend = ("pallas" if jax.default_backend() == "tpu"
                            else "xla")
         model = cls(
-            layers=tuple(p.backbone_layers), num_classes=num_classes,
+            layers=layers, num_classes=num_classes,
             dtype=jnp.bfloat16, num_proposals=num_proposals,
             roi_backend=roi_backend,
             roi_sampling_ratio=(0 if roi_backend == "pallas" else 2),

@@ -391,3 +391,53 @@ def test_http_detections_with_masks():
         httpd.shutdown()
         httpd.server_close()
         eng.close()
+
+
+def test_build_detections_server_two_stage_roi_backend():
+    """build_detections_server with a two-stage preset honors the round-5
+    --roi-backend plumbing: 'auto' resolves to the XLA gather on CPU (the
+    Pallas kernel is TPU-only) and the daemon answers detections JSON."""
+    import io
+
+    import jax
+
+    from mrla_tpu.detect.two_stage import FasterRCNN, init_detector
+    from mrla_tpu.serving.server import build_detections_server
+
+    v = jax.device_get(
+        init_detector(
+            FasterRCNN(layers=(1, 1, 1, 1), num_classes=3,
+                       rpn_nms_pre=32, num_proposals=8),
+            jax.random.key(0), jnp.zeros((1, 128, 128, 3)),
+        )
+    )
+    httpd, beng = build_detections_server(
+        "faster_rcnn_r50mrlal_fpn_1x_coco", v, num_classes=3,
+        batch_size=2, image_hw=(128, 128), max_wait_ms=10.0,
+        port=0, num_proposals=8, roi_backend="auto",
+        backbone_layers=(1, 1, 1, 1),
+    )
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    import threading
+
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        imgs = np.random.default_rng(4).standard_normal(
+            (1, 128, 128, 3)
+        ).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        req = urllib.request.Request(
+            base + "/predict", data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/x-npy"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            got = json.loads(r.read())["detections"]
+        assert len(got) == 1
+        assert set(got[0]) >= {"boxes", "scores", "labels"}
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        beng.close()
