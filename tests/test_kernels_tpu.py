@@ -117,3 +117,131 @@ def test_megatail_matches_reference(tpu_backend):
         np.asarray(x1, np.float32), np.asarray(x1_ref, np.float32),
         rtol=0.05, atol=0.02,
     )
+
+
+def test_roialign_patch_fwd_onchip(tpu_backend):
+    """COMPILED patch-DMA RoIAlign vs the XLA gather on the real chip
+    (interpret mode hid the stage-4 kernel's bf16-roll Mosaic rejection
+    for a whole round — every kernel needs one compiled-parity row)."""
+    from mrla_tpu.detect.roi_align import batched_roi_align
+    from mrla_tpu.kernels.roialign_patch import roi_align_patch
+
+    rng = np.random.default_rng(0)
+    sizes = [(64, 88), (32, 44), (16, 22), (8, 11)]
+    feats = [
+        jnp.asarray(rng.standard_normal((2, h, w, 128)), jnp.float32)
+        for h, w in sizes
+    ]
+    scale = np.exp(rng.uniform(np.log(8.0), np.log(300.0), (2, 32)))
+    ar = np.exp(rng.uniform(np.log(1 / 3), np.log(3.0), (2, 32)))
+    w = scale * np.sqrt(ar)
+    h = scale / np.sqrt(ar)
+    cx = rng.uniform(0, 352, (2, 32))
+    cy = rng.uniform(0, 256, (2, 32))
+    rois = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    rois = jnp.asarray(
+        np.clip(rois, [0, 0, 0, 0], [352, 256, 352, 256]), jnp.float32)
+    valid = jnp.asarray(rng.random((2, 32)) > 0.1)
+    for sr in (2, 0):
+        with jax.default_matmul_precision("float32"):
+            ref = batched_roi_align(feats, rois, valid, sampling_ratio=sr)
+            got = roi_align_patch(feats, rois, valid, sampling_ratio=sr)
+        rel = float(jnp.max(jnp.abs(ref - got))) / float(
+            jnp.max(jnp.abs(ref)))
+        assert rel < 1e-5, (sr, rel)
+
+
+def test_roialign_patch_vjp_onchip(tpu_backend):
+    """COMPILED backward (RMW-DMA scatter) grad parity on hardware."""
+    from mrla_tpu.detect.roi_align import batched_roi_align
+    from mrla_tpu.kernels.roialign_patch import roi_align_patch
+
+    rng = np.random.default_rng(1)
+    sizes = [(64, 88), (32, 44), (16, 22), (8, 11)]
+    feats = [
+        jnp.asarray(rng.standard_normal((2, h, w, 128)), jnp.float32)
+        for h, w in sizes
+    ]
+    scale = np.exp(rng.uniform(np.log(8.0), np.log(300.0), (2, 48)))
+    ar = np.exp(rng.uniform(np.log(1 / 3), np.log(3.0), (2, 48)))
+    w = scale * np.sqrt(ar)
+    h = scale / np.sqrt(ar)
+    cx = rng.uniform(0, 352, (2, 48))
+    cy = rng.uniform(0, 256, (2, 48))
+    rois = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    rois = jnp.asarray(
+        np.clip(rois, [0, 0, 0, 0], [352, 256, 352, 256]), jnp.float32)
+    valid = jnp.asarray(rng.random((2, 48)) > 0.2)
+    ct = jnp.asarray(rng.standard_normal((2, 48, 7, 7, 128)), jnp.float32)
+
+    for sr in (2, 0):
+        def lp(fs):
+            return jnp.sum(
+                roi_align_patch(fs, rois, valid, sampling_ratio=sr) * ct)
+
+        def lx(fs):
+            return jnp.sum(
+                batched_roi_align(fs, rois, valid, sampling_ratio=sr) * ct)
+
+        with jax.default_matmul_precision("float32"):
+            gp = jax.jit(jax.grad(lp))(feats)
+            gx = jax.jit(jax.grad(lx))(feats)
+        for lvl, (a, b) in enumerate(zip(gp, gx)):
+            s = float(jnp.max(jnp.abs(b))) + 1e-9
+            d = float(jnp.max(jnp.abs(a - b)))
+            assert d / s < 1e-5, (sr, lvl, d / s)
+
+
+def test_stage4_resident_onchip(tpu_backend):
+    """COMPILED stage-resident kernel vs the serving jnp chain (fp32,
+    reduced width) — the test that would have caught the bf16-roll
+    Mosaic rejection in round 4."""
+    from tests.test_stage4_kernel import _mk_block
+
+    from mrla_tpu.kernels.mrla_stage4 import (
+        pack_stage4_params, stage4_resident)
+    from mrla_tpu.serving.resnet_mrlal import _block, _conv
+
+    rng = np.random.default_rng(0)
+    cin, c1, c, ktap = 256, 128, 512, 5
+    heads = c // 32
+    p0 = _mk_block(rng, cin, c1, c, ktap, True)
+    p1 = _mk_block(rng, c, c1, c, ktap, False)
+    p2 = _mk_block(rng, c, c1, c, ktap, False)
+    x = jnp.asarray(rng.standard_normal((8, 14, 14, cin)), jnp.float32)
+
+    with jax.default_matmul_precision("float32"):
+        y, _ = _block(x, p0, 2, heads, False)
+        y, _ = _block(y, p1, 1, heads, False)
+        ref, _ = _block(y, p2, 1, heads, False)
+
+        ob = jax.nn.relu(_conv(jax.nn.relu(_conv(x, p0["k1"], p0["b1"])),
+                               p0["k2"], p0["b2"], stride=2))
+        packed = pack_stage4_params([p0, p1, p2], dtype=jnp.float32)
+        got = stage4_resident(
+            ob, x[:, ::2, ::2, :],
+            {k: v for k, v in packed.items()
+             if k not in ("heads", "ktap")},
+            heads=packed["heads"], ktap=packed["ktap"], batch_tile=8,
+        )
+    rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 5e-4, rel
+
+
+def test_deit_token_tail_onchip(tpu_backend):
+    """COMPILED token-tail kernel vs the flax module (fp32)."""
+    from mrla_tpu.kernels.deit_token_tail import (
+        deit_token_tail, extract_tail_params, pack_tail_params)
+    from mrla_tpu.models.deit_mrla import MRLALightTokenModule
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, 197, 384), jnp.float32)
+    ot = jnp.asarray(rng.randn(16, 197, 384), jnp.float32)
+    mod = MRLALightTokenModule(16)
+    v = mod.init(jax.random.PRNGKey(0), x, ot)
+    w, taps = pack_tail_params(extract_tail_params({"mrla": v["params"]}))
+    with jax.default_matmul_precision("float32"):
+        ref = x + mod.apply(v, x, ot)
+        got = deit_token_tail(x, ot, w, taps)
+    rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 1e-4, rel
