@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 from mrla_tpu.detect.anchors import pyramid_anchors
 from mrla_tpu.detect.bbox import bbox2delta
-from mrla_tpu.detect.roi_align import roi_align_multilevel
 from mrla_tpu.detect.targets import max_iou_assign
 from mrla_tpu.detect.two_stage import RCNN_TARGET_STDS
 
@@ -262,22 +261,30 @@ def mask_loss(
     mask_logits [B, R, S, S, K] from ``mask_forward`` on the SAME rois as
     ``targets`` (positives occupy the front of the prefix); gt_masks
     [B, G, H, W] in {0,1} at image resolution.
+
+    Crop formulation (round 5): ONE RoIAlign per batch with the G gt
+    masks as CHANNELS, then a per-roi channel select.  The previous
+    per-roi vmap gathered a full [H, W] canvas per roi first —
+    [B·R, H, W] fp32, which is 18 GB at the COCO contract (bs8 512 rois
+    800x1344) and OOM'd the compile; the channel form peaks at
+    [B, R, S, S, G].
     """
+    from mrla_tpu.detect.roi_align import batched_roi_align
 
-    def crop(masks_one, rois_one, gt_idx_one):
-        def per_roi(roi, gi):
-            m = masks_one[gi][:, :, None].astype(jnp.float32)  # [H, W, 1]
-            out = roi_align_multilevel(
-                [m], roi[None], strides=(1,), out_size=mask_size,
-                finest_scale=1e9,
-            )
-            return out[0, :, :, 0]
-
-        return jax.vmap(per_roi)(rois_one, gt_idx_one)
-
-    mt = jax.vmap(crop)(
-        gt_masks, targets["rois"], targets["gt_index"]
-    )  # [B, R, S, S]
+    m4 = gt_masks.transpose(0, 2, 3, 1).astype(jnp.float32)  # [B, H, W, G]
+    # sampling_ratio=1: one bilinear sample per output pixel — the
+    # closest aligned-grid analogue of mmdet's cv2.resize mask_target
+    # (no area averaging), and 4x fewer gather rows than sr=2 (the
+    # crop was the remaining HBM pressure at the bs8 COCO contract)
+    crops = batched_roi_align(
+        [m4], targets["rois"], None, strides=(1,), out_size=mask_size,
+        sampling_ratio=1, finest_scale=1e9,
+    )  # [B, R, S, S, G]
+    mt = jnp.take_along_axis(
+        crops,
+        targets["gt_index"][:, :, None, None, None].astype(jnp.int32),
+        axis=-1,
+    )[..., 0]  # [B, R, S, S]
     mt = (mt >= 0.5).astype(jnp.float32)
     labels = jnp.minimum(
         targets["labels"], mask_logits.shape[-1] - 1
@@ -306,6 +313,7 @@ def faster_rcnn_train_loss(
     gt_masks: Optional[jax.Array] = None,
     rcnn_num: int = 512,
     rpn_num: int = 256,
+    mask_num: int = 128,
 ) -> Tuple[jax.Array, Dict[str, jax.Array], Dict]:
     """One training forward: RPN loss + sampled R-CNN loss (+ mask loss).
 
@@ -346,22 +354,34 @@ def faster_rcnn_train_loss(
         + losses["loss_bbox"]
     )
     if model.with_mask and gt_masks is not None:
-        from mrla_tpu.detect.roi_align import batched_roi_align
-        from mrla_tpu.detect.two_stage import ROI_STRIDES
+        from mrla_tpu.detect.two_stage import ROI_STRIDES, _roi_align_fn
 
-        mask_feats = batched_roi_align(
+        # mmdet's mask head trains on the sampled POSITIVES only
+        # (mask_rcnn_r50mrlal_fpn.py RandomSampler: 512 x pos_fraction
+        # .25 = at most 128).  rcnn_targets gathers positives into the
+        # static prefix, so a mask_num prefix covers every positive —
+        # the bbox_weights masking zeroes any negative that slips in.
+        # Round 5: also 4x less mask-head work, and the gt-mask crop in
+        # mask_loss no longer OOMs at the COCO contract.
+        mn = min(mask_num, targets["rois"].shape[1])
+        t_mask = {
+            k: v[:, :mn] if v.ndim >= 2 and v.shape[1] == rcnn_num else v
+            for k, v in targets.items()
+        }
+        mask_feats = _roi_align_fn(model.roi_backend)(
             [f.astype(jnp.float32) for f in feats[:4]],
-            targets["rois"],
-            targets["roi_valid"],
+            t_mask["rois"],
+            t_mask["roi_valid"],
             strides=ROI_STRIDES,
             out_size=14,
+            sampling_ratio=model.roi_sampling_ratio,
         )
         mask_logits = model.apply(
             variables,
             mask_feats.astype(model.dtype),
             method=FasterRCNN.mask_forward,
         )
-        losses["loss_mask"] = mask_loss(mask_logits, targets, gt_masks)
+        losses["loss_mask"] = mask_loss(mask_logits, t_mask, gt_masks)
         total = total + losses["loss_mask"]
     losses["loss"] = total
     return total, losses, mut
