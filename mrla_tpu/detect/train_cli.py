@@ -134,6 +134,15 @@ def build_model(args):
         return RetinaNet(layers=layers, num_classes=args.num_classes,
                          dtype=dtype, remat=args.remat), "retinanet"
     cls = MaskRCNN if "mask" in args.preset else FasterRCNN
+    if ("mask" in args.preset and not args.remat and not args.eval_only
+            and args.batch_size // max(args.dp, 1) >= 8):
+        print(
+            "note: mask training at >=8 imgs/device at COCO canvas sizes "
+            "can exceed 16 GB HBM (the reference trains at 2 imgs/GPU); "
+            "pass --remat if compilation reports out-of-memory "
+            "(measured cost ~11%, ROADMAP detection ledger)",
+            flush=True,
+        )
     backend = args.roi_backend
     if backend == "auto":
         # the patch-DMA kernel targets the TPU Pallas backend specifically

@@ -271,7 +271,12 @@ def mask_loss(
     """
     from mrla_tpu.detect.roi_align import batched_roi_align
 
-    m4 = gt_masks.transpose(0, 2, 3, 1).astype(jnp.float32)  # [B, H, W, G]
+    # bf16 canvas: masks are exactly {0, 1}; the bilinear combination
+    # rounds at ~0.4%, far from the 0.5 binarize threshold for any
+    # non-degenerate weight combo — and it halves the [B, H, W, G]
+    # canvas + gather intermediates (the last ~40 MB of HBM pressure
+    # at the bs8 COCO contract)
+    m4 = gt_masks.transpose(0, 2, 3, 1).astype(jnp.bfloat16)
     # sampling_ratio=1: one bilinear sample per output pixel — the
     # closest aligned-grid analogue of mmdet's cv2.resize mask_target
     # (no area averaging), and 4x fewer gather rows than sr=2 (the

@@ -70,9 +70,14 @@ def main():
     for spec in want:
         backend, sr = spec.split(":")
         sr = int(sr)
+        # remat: the mask branch's extra activations push the bs8
+        # 800x1344 fwd+bwd ~43 MB past the 16 GB HBM (the reference
+        # trains mask_rcnn at 2 imgs/GPU — bs8/chip is 4x its
+        # per-device batch); backbone rematerialization trades the
+        # measured ~11% (ROADMAP round-3 detect ledger) for fitting
         model = MaskRCNN(layers=(3, 4, 6, 3), dtype=jnp.bfloat16,
                          num_proposals=1000, roi_sampling_ratio=sr,
-                         roi_backend=backend)
+                         roi_backend=backend, remat=True)
         variables = jax.jit(lambda r, xx: init_detector(model, r, xx))(
             jax.random.key(0), jnp.zeros((1, H, W, 3), jnp.float32)
         )
