@@ -48,12 +48,14 @@ def main() -> None:
     # The microbatched serving program takes minutes to compile; persist the
     # compiled executable so repeat runs (and CI/driver invocations after a
     # warmup) skip straight to measurement.  Inside main() so importing this
-    # module has no process-wide side effects (ADVICE r2).
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    # module has no process-wide side effects (ADVICE r2).  Same helper the
+    # daemons use (round 5); the repo-local dir is kept so driver runs stay
+    # warm across rounds.
+    from mrla_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from mrla_tpu.models import create_model
     from mrla_tpu.serving import prepare_inference_params, resnet_mrlal_forward

@@ -147,11 +147,24 @@ def build_model(args):
     if backend == "auto":
         # the patch-DMA kernel targets the TPU Pallas backend specifically
         # (make_async_copy / PrefetchScalarGridSpec) — gate on 'tpu', not
-        # merely non-cpu (ADVICE r4: would fail outright on gpu)
+        # merely non-cpu (ADVICE r4: would fail outright on gpu).  Under
+        # --dp>1 the kernel sits inside a GSPMD-partitioned program with
+        # no sharding rule of its own, a combination we have no multi-chip
+        # measurement for — auto stays on the xla gather there (round-5
+        # review finding; explicit --roi-backend pallas overrides with a
+        # warning).
         backend = (
             "pallas"
-            if jax.default_backend() == "tpu"
+            if jax.default_backend() == "tpu" and args.dp <= 1
             else "xla"
+        )
+    elif backend == "pallas" and args.dp > 1:
+        print(
+            "warning: --roi-backend pallas with --dp>1 runs a Mosaic "
+            "custom call inside a GSPMD-partitioned step; the partitioner "
+            "may replicate the RoI stage (unmeasured on multi-chip "
+            "hardware) — benchmark against --roi-backend xla",
+            flush=True,
         )
     sr = args.roi_sampling_ratio
     if sr is None:
@@ -220,6 +233,21 @@ def make_optimizer(args, schedule, params):
     return tx
 
 
+def rank_shard_indices(n: int, rank: int, world: int, local_bs: int):
+    """Per-rank strided dataset shard (the reference's DistributedSampler
+    split), truncated so EVERY rank runs the same step count — the
+    truncation must use the GLOBAL minimum shard length, not each rank's
+    own: strided shards differ by one in length (ceil vs floor of
+    n/world), so per-rank truncation can give ranks different batch
+    counts and deadlock the first collective of the extra step (e.g.
+    n=15, world=2, local_bs=2: 4 steps vs 3 — round-5 review finding).
+    Returns None when even one local batch doesn't fit."""
+    keep = ((n // world) // local_bs) * local_bs
+    if keep == 0:
+        return None
+    return np.arange(rank, n, world)[:keep]
+
+
 def data_iter(args, train: bool, epoch: int, rank: int = 0,
               world: int = 1):
     """Training batches; with ``world > 1`` each process yields its LOCAL
@@ -264,19 +292,14 @@ def data_iter(args, train: bool, epoch: int, rank: int = 0,
     if ann is None or imgs is None:
         raise SystemExit("--data coco requires --train-ann/--train-imgs")
     ds = CocoDetection(ann, imgs)
-    # per-rank strided shard (the reference's DistributedSampler split);
-    # truncate to a multiple of the LOCAL batch so every rank runs the
-    # same number of steps (ragged finals would desync the collective)
     indices = None
     if world > 1:
-        idx = np.arange(rank, len(ds), world)
-        n = (len(idx) // local_bs) * local_bs
-        if n == 0:
+        indices = rank_shard_indices(len(ds), rank, world, local_bs)
+        if indices is None:
             raise SystemExit(
-                f"dataset too small: rank shard {len(idx)} < local "
-                f"batch {local_bs}"
+                f"dataset too small: {len(ds)} images over {world} "
+                f"processes < local batch {local_bs}"
             )
-        indices = idx[:n]
     return coco_batches(
         ds, local_bs, canvas_hw=canvas, max_gt=args.max_gt,
         shuffle=train, augment=train, seed=args.seed + epoch,

@@ -318,7 +318,7 @@ def faster_rcnn_train_loss(
     gt_masks: Optional[jax.Array] = None,
     rcnn_num: int = 512,
     rpn_num: int = 256,
-    mask_num: int = 128,
+    mask_num: Optional[int] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array], Dict]:
     """One training forward: RPN loss + sampled R-CNN loss (+ mask loss).
 
@@ -362,13 +362,16 @@ def faster_rcnn_train_loss(
         from mrla_tpu.detect.two_stage import ROI_STRIDES, _roi_align_fn
 
         # mmdet's mask head trains on the sampled POSITIVES only
-        # (mask_rcnn_r50mrlal_fpn.py RandomSampler: 512 x pos_fraction
-        # .25 = at most 128).  rcnn_targets gathers positives into the
-        # static prefix, so a mask_num prefix covers every positive —
-        # the bbox_weights masking zeroes any negative that slips in.
+        # (mask_rcnn_r50mrlal_fpn.py RandomSampler: num x pos_fraction
+        # .25 — 128 at the default 512).  rcnn_targets gathers positives
+        # into the static prefix, so a pos-budget-sized prefix covers
+        # every positive — the bbox_weights masking zeroes any negative
+        # that slips in.  mask_num scales with rcnn_num (a fixed 128
+        # would silently drop positives at larger --rcnn-samples).
         # Round 5: also 4x less mask-head work, and the gt-mask crop in
         # mask_loss no longer OOMs at the COCO contract.
-        mn = min(mask_num, targets["rois"].shape[1])
+        mn = mask_num if mask_num is not None else max(1, rcnn_num // 4)
+        mn = min(mn, targets["rois"].shape[1])
         t_mask = {
             k: v[:, :mn] if v.ndim >= 2 and v.shape[1] == rcnn_num else v
             for k, v in targets.items()

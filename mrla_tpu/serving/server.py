@@ -34,7 +34,6 @@ from __future__ import annotations
 import argparse
 import io
 import json
-import os
 import queue
 import threading
 import time
@@ -415,6 +414,13 @@ def build_detections_server(
     layers = tuple(backbone_layers or p.backbone_layers)
     h, w = image_hw
     det_variables = jax.device_put(det_variables)
+    if "retinanet" in preset and roi_backend == "pallas":
+        # same contract as detect/train_cli: don't silently serve the
+        # plain path while the operator believes the kernel is active
+        raise ValueError(
+            "roi_backend='pallas' applies to two-stage presets only "
+            "(retinanet has no RoIAlign)"
+        )
     if "retinanet" in preset:
         from mrla_tpu.detect.retinanet import RetinaNet, get_bboxes
 

@@ -64,9 +64,9 @@ def coverage_stats(name, rois, valid, sampling_ratio=0):
 
     import jax.numpy as jnp
 
-    shapes = [(H // s + (H % s > 0), W // s + (W % s > 0)) for s in STRIDES]
-    # actual FPN level dims at the canvas (conv stride arithmetic)
-    shapes = [(200, 336), (100, 168), (50, 84), (25, 42)]
+    # FPN level dims at the canvas (ceil-div conv stride arithmetic;
+    # (200,336)/(100,168)/(50,84)/(25,42) at 800x1344)
+    shapes = [(-(-H // s), -(-W // s)) for s in STRIDES]
     heights = np.array([s[0] for s in shapes])
     widths = np.array([s[1] for s in shapes])
     widths_p = np.array([_round8(int(w)) for w in widths])

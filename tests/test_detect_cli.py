@@ -380,3 +380,31 @@ def test_roi_backend_resolution():
     ])
     with pytest.raises(SystemExit):
         build_model(args)
+
+
+def test_rank_shard_indices_step_counts_agree():
+    """Round-5 review finding: per-rank truncation of strided shards can
+    give ranks DIFFERENT step counts (ceil-vs-floor shard lengths) and
+    deadlock the first collective of the extra step.  Every (n, world,
+    local_bs) must yield equal step counts and disjoint indices."""
+    from mrla_tpu.detect.train_cli import rank_shard_indices
+
+    for n in (15, 16, 17, 63, 100, 117266):
+        for world in (2, 4, 8):
+            for local_bs in (1, 2, 4):
+                shards = [
+                    rank_shard_indices(n, r, world, local_bs)
+                    for r in range(world)
+                ]
+                if shards[0] is None:
+                    assert all(s is None for s in shards)
+                    continue
+                steps = {len(s) // local_bs for s in shards}
+                lens = {len(s) for s in shards}
+                assert steps == {len(shards[0]) // local_bs}, (
+                    n, world, local_bs)
+                assert lens == {len(shards[0])}
+                assert len(shards[0]) % local_bs == 0
+                flat = np.concatenate(shards)
+                assert len(np.unique(flat)) == len(flat)  # disjoint
+                assert flat.max() < n
