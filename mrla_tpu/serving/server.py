@@ -489,7 +489,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--resume", default=None)
     p.add_argument("-b", "--batch-size", type=int, default=128)
     p.add_argument("--image-size", type=int, default=224)
-    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="default: 1000 (classification), 80 (COCO "
+                        "detection presets)")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "mrlal", "mrlab", "precast"])
     p.add_argument("--microbatch", type=int, default=None)
@@ -529,6 +531,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         "(default: ~/.cache/mrla_tpu_jax so daemon "
                         "restarts skip the multi-minute detector compile)")
     args = p.parse_args(argv)
+    if args.num_classes is None:
+        # the classification default (ImageNet-1K) must not leak into the
+        # detection presets (COCO: 80 classes)
+        args.num_classes = 80 if args.detect_preset else 1000
 
     if not args.no_compile_cache:
         # the fused two-stage detector program (Pallas RoIAlign + NMS +
