@@ -154,10 +154,15 @@ def _kernel(
             yb = y.astype(ybuf.dtype)  # [H, CW, BT, C]
             ybuf[slot] = yb
             # next block's conv1: [H·CW·BT, C] @ [C, C1] on the MXU
+            # precision pinned: ambient HIGHEST (e.g. a test module's
+            # jax_default_matmul_precision=float32) is uncompilable for a
+            # bf16 lhs under Mosaic ("Bad lhs type"); DEFAULT is the
+            # single-pass MXU semantics this kernel is measured at.
             x1 = jax.lax.dot_general(
                 yb.reshape(h * cw * bt, c), w1,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             x1 = jnp.maximum(x1 + b1, 0.0)
             x1buf[slot] = x1.reshape(h, cw, bt, c1).astype(x1buf.dtype)

@@ -97,10 +97,13 @@ def _rowtail_kernel(*refs, with_x1: bool):
             w, b = yb.shape[0], yb.shape[1]
             c = yb.shape[2]
             c1 = x1_ref.shape[3]
+            # precision pinned: Mosaic rejects a bf16 lhs under ambient
+            # HIGHEST matmul precision; DEFAULT is the measured semantics.
             x1 = jax.lax.dot_general(
                 yb.reshape(w * b, c), w1_ref[...],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             x1 = jnp.maximum(x1 + b1_ref[0].reshape(1, c1), 0.0)
             x1_ref[0] = x1.reshape(w, b, c1).astype(x1_ref.dtype)

@@ -25,7 +25,14 @@ from mrla_tpu.ckpt.detect_convert import (
 )
 from mrla_tpu.detect import FCNMaskHead, RPNHead, Shared2FCBBoxHead
 
-jax.config.update("jax_default_matmul_precision", "float32")
+# fp32-parity checks need full-precision matmuls, but ONLY for this module:
+# a module-level jax.config.update leaks at collection time into every other
+# test in the process (it put the whole suite — including on-chip Pallas
+# kernels, where Mosaic rejects bf16 dots under HIGHEST — on float32).
+@pytest.fixture(autouse=True)
+def _fp32_matmuls():
+    with jax.default_matmul_precision("float32"):
+        yield
 
 
 def _to_jax_nhwc(x_nchw: torch.Tensor) -> jnp.ndarray:
